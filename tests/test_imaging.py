@@ -1,0 +1,89 @@
+"""Sanity tests for the numpy image primitives backing the blob leg."""
+
+import numpy as np
+
+from wine_label_ocr_ray.functions import imaging as I
+
+
+def test_pad_box():
+    assert I.pad_box([10, 10, 20, 20], 100, 100, pad=0.1) == [9, 9, 21, 21]
+    # clamps to image bounds
+    assert I.pad_box([0, 0, 100, 100], 100, 100, pad=0.5) == [0, 0, 100, 100]
+
+
+def test_otsu_bimodal():
+    img = np.zeros((10, 10), dtype=np.uint8)
+    img[:, 5:] = 200
+    t, mask = I.otsu_threshold(img)
+    assert 0 <= t < 200
+    assert (mask[:, 5:] == 255).all() and (mask[:, :5] == 0).all()
+
+
+def test_connected_components_basic():
+    mask = np.zeros((20, 30), dtype=np.uint8)
+    mask[2:6, 2:8] = 255      # blob A: 4x6 = 24 px
+    mask[10:15, 20:25] = 255  # blob B: 5x5 = 25 px
+    n, labels, stats, centroids = I.connected_components(mask)
+    assert n == 3  # background + 2
+    areas = sorted(stats[1:, 4].tolist())
+    assert areas == [24, 25]
+    # bounding boxes
+    boxes = {tuple(s[:4]) for s in stats[1:]}
+    assert (2, 2, 6, 4) in boxes and (20, 10, 5, 5) in boxes
+
+
+def test_connected_components_diagonal_8conn():
+    mask = np.zeros((5, 5), dtype=np.uint8)
+    mask[0, 0] = mask[1, 1] = mask[2, 2] = 255
+    n, labels, stats, _ = I.connected_components(mask)
+    assert n == 2  # diagonal chain is ONE component under 8-connectivity
+
+
+def test_connected_components_merge_u_shape():
+    # U shape forces a union of two provisional labels
+    mask = np.zeros((5, 5), dtype=np.uint8)
+    mask[0:4, 0] = 255
+    mask[0:4, 4] = 255
+    mask[3, 0:5] = 255
+    n, labels, stats, _ = I.connected_components(mask)
+    assert n == 2
+    assert stats[1, 4] == 4 + 4 + 3  # 11 pixels
+
+
+def test_morphology_open_removes_specks():
+    mask = np.zeros((20, 20), dtype=np.uint8)
+    mask[5:15, 5:15] = 255
+    mask[0, 0] = 255  # single-pixel speck
+    opened = I.binary_open(mask, I.KERNEL_2X2)
+    assert opened[0, 0] == 0
+    assert opened[8, 8] == 255
+
+
+def test_extract_smart_blobs_filters():
+    mask = np.zeros((100, 200), dtype=np.uint8)
+    mask[10:20, 10:30] = 255   # 10x20 = 200 px -> kept
+    mask[50, 50] = 255         # speck: area < 30 -> dropped
+    mask[40:44, 100:102] = 255 # w<3 -> dropped
+    blobs = I.extract_smart_blobs(mask, min_area=30.0)
+    assert len(blobs) == 1
+    b = blobs[0]
+    assert (b["x"], b["y"], b["w"], b["h"]) == (10, 10, 20, 10)
+    assert b["area"] == 200.0
+    assert b["extent"] == 1.0
+    assert 0.9 <= b["solidity"] <= 1.2
+
+
+def test_create_text_mask_disabled():
+    roi = np.full((10, 10), 128, dtype=np.uint8)
+    mask, info = I.create_text_mask(roi, use_image_as_mask=False)
+    assert info["method"] == "disabled"
+    assert mask.sum() == 0
+
+
+def test_create_text_mask_enabled():
+    roi = np.zeros((30, 30), dtype=np.uint8)
+    roi[5:25, 5:25] = 220
+    mask, info = I.create_text_mask(roi, use_image_as_mask=True)
+    assert info["method"] == "image_as_mask"
+    assert 0.0 < info["foreground_ratio"] < 1.0
+    assert mask[15, 15] == 255

@@ -1,0 +1,192 @@
+"""Blob fingerprint + geometric blob-set similarity (reference ports).
+
+- ``blob_fingerprint``   -> ``data_extraction_functions/hybrid.py:229-242``
+  (verified byte-exact against all 5 golden rows of
+  ``/root/reference/wine_database.jsonl``).
+- ``blob_similarity``    -> ``similarity_functions/BlobSimilarity.py:20-144``.
+  The assignment step uses the reference's own greedy argsort fallback
+  (``BlobSimilarity.py:86-93``) as the primary implementation — scipy's
+  ``linear_sum_assignment`` is absent from this environment and the
+  greedy path is the reference's documented degradation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_WEIGHTS = {
+    "pos": 0.60, "scale": 0.15, "ratio": 0.10,
+    "solidity": 0.075, "extent": 0.075,
+}
+
+
+def blob_fingerprint(blobs: Sequence[Dict], roi_shape: Tuple[int, int]) -> str:
+    """md5 of the stable rounded feature tuple string; ``"empty"`` when
+    no blobs (``hybrid.py:229-242``)."""
+    if not blobs:
+        return "empty"
+    H, W = roi_shape
+    feats = []
+    for b in sorted(blobs, key=lambda x: (x["cy"], x["cx"])):
+        feats.append((
+            round(b["cx"] / W, 3),
+            round(b["cy"] / H, 3),
+            round(b["w"] / W, 3),
+            round(b["h"] / H, 3),
+            round(b["area"] / (W * H), 4),
+        ))
+    return hashlib.md5(str(feats).encode()).hexdigest()[:16]
+
+
+def _roi_hw(blobdata: Dict) -> Tuple[int, int]:
+    """``BlobSimilarity.py:5-17``."""
+    if "roi_shape" in blobdata and len(blobdata["roi_shape"]) == 2:
+        H, W = int(blobdata["roi_shape"][0]), int(blobdata["roi_shape"][1])
+        return max(1, H), max(1, W)
+    if "roi_bbox" in blobdata and len(blobdata["roi_bbox"]) == 4:
+        x0, y0, x1, y1 = blobdata["roi_bbox"]
+        return max(1, int(y1 - y0)), max(1, int(x1 - x0))
+    xs, ys, ws, hs = [], [], [], []
+    for b in blobdata.get("blobs", []):
+        xs.append(b.get("x", 0)); ys.append(b.get("y", 0))
+        ws.append(b.get("w", 0)); hs.append(b.get("h", 0))
+    H = int(max(1, max((y + h) for y, h in zip(ys or [1], hs or [1]))))
+    W = int(max(1, max((x + w) for x, w in zip(xs or [1], ws or [1]))))
+    return H, W
+
+
+def _extract_features(blobdata: Dict):
+    """``BlobSimilarity.py:20-38``."""
+    H, W = _roi_hw(blobdata)
+    A_roi = float(H * W)
+    feats = {"pos": [], "scale": [], "ratio": [], "sol": [], "ext": []}
+    for b in blobdata.get("blobs", []):
+        x = float(b.get("x", 0.0)); y = float(b.get("y", 0.0))
+        w = float(b.get("w", 0.0)); h = float(b.get("h", 0.0))
+        cx = float(b.get("cx", x + w * 0.5)); cy = float(b.get("cy", y + h * 0.5))
+        area = float(b.get("area", max(1.0, w * h * 0.5)))
+        ratio = float(np.clip(w / max(h, 1e-6), 1e-3, 1e3))
+        extent = b.get("extent", area / max(w * h, 1e-6))
+        solidity = b.get("solidity", 1.0)
+        feats["pos"].append([cx / W, cy / H])
+        feats["scale"].append(math.sqrt(max(area, 1.0)) / math.sqrt(A_roi))
+        feats["ratio"].append(ratio)
+        feats["sol"].append(float(np.clip(solidity, 0.0, 1.0)))
+        feats["ext"].append(float(np.clip(extent, 0.0, 1.0)))
+    for k in feats:
+        feats[k] = np.asarray(feats[k], dtype=np.float32)
+    return feats, (H, W)
+
+
+def _pairwise_d2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    a2 = np.sum(A * A, axis=1, keepdims=True)
+    b2 = np.sum(B * B, axis=1, keepdims=True).T
+    return a2 + b2 - 2.0 * (A @ B.T)
+
+
+def _estimate_translation(posA: np.ndarray, posB: np.ndarray) -> np.ndarray:
+    """NN-median displacement (``BlobSimilarity.py:45-50``)."""
+    if len(posA) == 0 or len(posB) == 0:
+        return np.zeros(2, np.float32)
+    d2 = _pairwise_d2(posA, posB)
+    j = np.argmin(d2, axis=1)
+    return np.median(posA - posB[j], axis=0).astype(np.float32)
+
+
+def _build_cost_matrix(Fa, Fb, shift, weights) -> np.ndarray:
+    """Weighted component cost (``BlobSimilarity.py:52-75``)."""
+    pa = Fa["pos"]; pb = Fb["pos"] + shift[None, :]
+    dpos = np.sqrt(np.maximum(_pairwise_d2(pa, pb), 0.0))
+    sa, sb = Fa["scale"][:, None], Fb["scale"][None, :]
+    ra, rb = Fa["ratio"][:, None], Fb["ratio"][None, :]
+    sola, solb = Fa["sol"][:, None], Fb["sol"][None, :]
+    exta, extb = Fa["ext"][:, None], Fb["ext"][None, :]
+    dscale = np.abs(sa - sb)
+    dratio = np.abs(np.log(ra / np.maximum(rb, 1e-8)))
+    dsol = np.abs(sola - solb)
+    dext = np.abs(exta - extb)
+    return (weights.get("pos", 0.60) * dpos +
+            weights.get("scale", 0.15) * dscale +
+            weights.get("ratio", 0.10) * np.minimum(dratio, 2.0) +
+            weights.get("solidity", 0.075) * dsol +
+            weights.get("extent", 0.075) * dext)
+
+
+def _assign_greedy(cost: np.ndarray, pair_threshold: float = 0.22):
+    """Greedy global-argsort matching — the reference's scipy-free path
+    (``BlobSimilarity.py:86-93``)."""
+    na, nb = cost.shape
+    if na == 0 or nb == 0:
+        return []
+    idx = np.argsort(cost, axis=None)
+    used_a = np.zeros(na, bool); used_b = np.zeros(nb, bool)
+    pairs = []
+    for flat in idx:
+        a, b = divmod(int(flat), nb)
+        c = cost[a, b]
+        if c > pair_threshold:
+            break
+        if not used_a[a] and not used_b[b]:
+            used_a[a] = used_b[b] = True
+            pairs.append((a, b, float(c)))
+    return pairs
+
+
+def _score(nA: int, nB: int, pairs, costs, pair_threshold: float):
+    """Coverage x quality harmonic score (``BlobSimilarity.py:95-102``)."""
+    if nA == 0 and nB == 0:
+        return 1.0, 1.0, 0.0
+    if nA == 0 or nB == 0 or len(pairs) == 0:
+        return 0.0, 0.0, 1.0
+    coverage = len(pairs) / float(max(nA, nB))
+    med_cost = float(np.median(costs)) if costs else pair_threshold
+    quality = max(0.0, 1.0 - (med_cost / max(pair_threshold, 1e-6)))
+    score = 2 * (coverage * quality) / max(coverage + quality, 1e-6)
+    return float(np.clip(score, 0.0, 1.0)), coverage, med_cost
+
+
+def blob_similarity(blobdata1: Optional[Dict], blobdata2: Optional[Dict], *,
+                    threshold: float = 0.55, pair_threshold: float = 0.22,
+                    weights: Optional[Dict] = None,
+                    return_details: bool = False):
+    """``isBlobDataSimilar`` over two BlobData dicts
+    (``BlobSimilarity.py:105-144``): empty side short-circuits to False
+    before the both-empty branch, exactly like the public API."""
+    weights = weights or {}
+    B1 = blobdata1 or {}
+    B2 = blobdata2 or {}
+    F1, _ = _extract_features(B1)
+    F2, _ = _extract_features(B2)
+    n1, n2 = len(F1["pos"]), len(F2["pos"])
+    if n1 == 0 or n2 == 0:
+        details = {"score": 0.0, "coverage": 0.0, "median_pair_cost": 1.0,
+                   "matched_pairs": 0, "n1": n1, "n2": n2,
+                   "pair_threshold": pair_threshold,
+                   "decision_threshold": threshold}
+        return (False, details) if return_details else False
+    shift = _estimate_translation(F1["pos"], F2["pos"])
+    cost = _build_cost_matrix(F1, F2, shift, weights)
+    pairs = _assign_greedy(cost, pair_threshold=pair_threshold)
+    costs = [c for *_, c in pairs]
+    score, coverage, med_cost = _score(n1, n2, pairs, costs, pair_threshold)
+    similar = score >= threshold
+    details = {"score": score, "coverage": coverage,
+               "median_pair_cost": med_cost, "matched_pairs": len(pairs),
+               "n1": n1, "n2": n2, "pair_threshold": pair_threshold,
+               "decision_threshold": threshold}
+    return (similar, details) if return_details else similar
+
+
+def is_blob_data_similar(record1: Optional[Dict], record2: Optional[Dict], *,
+                         threshold: float = 0.55, pair_threshold: float = 0.22,
+                         weights: Optional[Dict] = None,
+                         return_details: bool = False):
+    """Record-level wrapper matching the reference signature."""
+    return blob_similarity((record1 or {}).get("BlobData", {}) or {},
+                           (record2 or {}).get("BlobData", {}) or {},
+                           threshold=threshold, pair_threshold=pair_threshold,
+                           weights=weights, return_details=return_details)
