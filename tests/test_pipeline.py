@@ -1,0 +1,75 @@
+"""End-to-end flagship pipeline vs the pure-Python oracle: per-row
+span-sequence equality (kind, text, media_ref, order) + record-field
+equality (the BASELINE.json north-rule invariant)."""
+
+import pytest
+
+from wine_label_ocr_ray.oracle import oracle_records
+from wine_label_ocr_ray.pipelines.extract import build_extract_pipeline
+from wine_label_ocr_ray.synth import generate_corpus
+
+RECORD_FIELDS = ("custom_id", "maker_name", "maker_norm", "vintage",
+                 "barcode", "key", "record_id", "valid")
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus") / "c200")
+    generate_corpus(out, num_docs=200, seed=42)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline_records(ray_session, corpus):
+    return build_extract_pipeline(corpus).take_all()
+
+
+@pytest.fixture(scope="module")
+def expected(corpus):
+    return oracle_records(corpus)
+
+
+def test_all_docs_present(pipeline_records, expected):
+    assert len(pipeline_records) == 200
+    assert {r["doc_id"] for r in pipeline_records} == set(expected)
+
+
+def test_span_sequence_equality(pipeline_records, expected):
+    for r in pipeline_records:
+        got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+               for s in r["spans"]]
+        want = [tuple(s) for s in expected[r["doc_id"]]["spans"]]
+        assert got == want, f"span mismatch for {r['doc_id']}"
+
+
+def test_record_fields_equal(pipeline_records, expected):
+    for r in pipeline_records:
+        o = expected[r["doc_id"]]
+        for f in RECORD_FIELDS:
+            assert r[f] == o[f], f"{r['doc_id']}.{f}: {r[f]!r} != {o[f]!r}"
+
+
+def test_blob_fingerprints_equal(pipeline_records, expected):
+    n_with_blob = 0
+    for r in pipeline_records:
+        o = expected[r["doc_id"]]
+        if o["blob"] is None:
+            assert r["blob"] is None
+            continue
+        n_with_blob += 1
+        assert r["blob"]["blob_fingerprint"] == o["blob"]["blob_fingerprint"]
+        assert r["blob"]["blob_count"] == o["blob"]["blob_count"]
+    assert n_with_blob > 50  # corpus actually exercises the media leg
+
+
+def test_extraction_hit_rates(pipeline_records):
+    """The corpus must exercise every path: vintages found, makers
+    found, some docs with neither (invalid), barcodes present."""
+    vintages = sum(1 for r in pipeline_records if r["vintage"] is not None)
+    makers = sum(1 for r in pipeline_records if r["maker_name"])
+    barcodes = sum(1 for r in pipeline_records if r["barcode"])
+    invalid = sum(1 for r in pipeline_records if not r["valid"])
+    assert vintages > 80
+    assert makers > 80
+    assert barcodes > 10
+    assert invalid > 0

@@ -1,0 +1,33 @@
+"""Pipeline configuration (the engine's user-extension surface,
+SURVEY.md section 2.9: thresholds, weights, engine choices, paths,
+partitioning — the Ray Data analog of the reference's kwargs/CLI flags,
+``hybrid.py:277-289``, ``scan_and_store.py:186-196``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple, Union
+
+
+@dataclass
+class PipelineConfig:
+    # detection / OCR (final_run_ocr.py:385, hybrid.py:287)
+    confidence_threshold: float = 0.01
+    box_pad: float = 0.08
+    min_blob_area: float = 30.0
+
+    # similarity / dedup thresholds (BlobSimilarity.py:105-116,
+    # scan_and_store.py:127)
+    maker_threshold: int = 85
+    blob_threshold: float = 0.55
+    pair_threshold: float = 0.22
+    blob_weights: Dict[str, float] = field(default_factory=dict)
+
+    # physical execution. media_concurrency=None -> autosize to half the
+    # cluster CPUs (min 2): a pool reserving every CPU starves the read/
+    # shuffle stages and the pipeline serializes (or deadlocks).
+    media_concurrency: Union[int, Tuple[int, int], None] = None
+    media_batch_size: int = 256
+    media_num_cpus: float = 1.0
+    override_num_blocks: Optional[int] = None
+    assembly_num_partitions: Optional[int] = None

@@ -46,9 +46,11 @@ _SWEEP_PATTERNS = [
 ]
 
 _TAG = re.compile(r"<[^>]{0,128}>")
-_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
-             "&#39;": "'", "&nbsp;": " "}
-_ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
+# Sequential replacement with &amp; LAST, mirrored exactly by the
+# vectorized Arrow kernel chain in stages/spans.py (order matters:
+# amp-last keeps sequential == single-pass semantics).
+ENTITY_ORDER = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
 _WS = re.compile(r"\s+")
 
 
@@ -171,5 +173,6 @@ def strip_markup(text: str) -> str:
     if not text:
         return ""
     out = _TAG.sub(" ", text)
-    out = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], out)
+    for src, dst in ENTITY_ORDER:
+        out = out.replace(src, dst)
     return _WS.sub(" ", out).strip()

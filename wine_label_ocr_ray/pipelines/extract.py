@@ -1,0 +1,59 @@
+"""Flagship extraction pipeline: read -> explode -> text extract ->
+media actor pool -> groupby(doc_id) reassembly -> records.
+
+One lazy ``ray.data.Dataset`` plan end to end (SURVEY.md section 3.1
+"new engine" sketch); the streaming executor pipelines the stages with
+backpressure. Consumers write/iterate — nothing here materializes the
+full dataset.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import ray.data
+
+from ..config import PipelineConfig
+from ..sources.documents import read_documents
+from ..stages.media import MediaExtract
+from ..stages.reassemble import assemble_group
+from ..stages.spans import explode_spans, extract_text_spans
+
+
+def build_extract_pipeline(corpus_dir: str,
+                           cfg: Optional[PipelineConfig] = None
+                           ) -> "ray.data.Dataset":
+    """Returns the lazy record Dataset (schema: schema.RECORD_SCHEMA)."""
+    from .._rayprep import ensure_serializable
+    ensure_serializable()
+    cfg = cfg or PipelineConfig()
+    media_path = os.path.join(corpus_dir, "media")
+
+    concurrency = cfg.media_concurrency
+    if concurrency is None:
+        import ray
+        total_cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        concurrency = max(2, int(total_cpus * 0.5 / cfg.media_num_cpus))
+
+    docs = read_documents(corpus_dir,
+                          override_num_blocks=cfg.override_num_blocks)
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
+    spans = spans.map_batches(extract_text_spans, batch_format="pyarrow")
+    spans = spans.map_batches(
+        MediaExtract,
+        fn_constructor_kwargs=dict(
+            media_path=media_path,
+            confidence_threshold=cfg.confidence_threshold,
+            pad=cfg.box_pad,
+            min_blob_area=cfg.min_blob_area,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.media_batch_size,
+        concurrency=concurrency,
+        num_cpus=cfg.media_num_cpus,
+    )
+    grouped = spans.groupby("doc_id")
+    records = grouped.map_groups(assemble_group, batch_format="pyarrow")
+    return records

@@ -1,0 +1,503 @@
+"""Documents + embeddings queries: the training-data operator suite
+(text analysis, fingerprinting, exact/near dedup, similarity search).
+
+Determinism contract with the DuckDB oracles: integer-derived ratios
+are emitted as raw doubles (same IEEE division on both sides is
+bit-identical); only cross-batch float REDUCTIONS (cosine sums,
+centroid means) are rounded (6dp) because summation order differs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Set
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions import textstats as TS
+from ._qutil import read_table
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(TS.STOPWORDS)) + "]"
+
+# ----------------------------------------------------------- doc stats
+
+def doc_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document token/char statistics, fully vectorized Arrow."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        n_tokens = pc.count_substring_regex(txt, pattern=r"\S+")
+        n_bpe = pc.count_substring_regex(
+            txt, pattern=r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+        n_alnum = pc.count_substring_regex(txt, pattern=r"[A-Za-z0-9]")
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+        na = n_alnum.to_numpy(zero_copy_only=False).astype(np.float64)
+        mean_len = np.where(nt > 0, na / np.maximum(nt, 1), 0.0)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n_tokens,
+                         "n_tokens_bpe": n_bpe, "n_alnum": n_alnum,
+                         "mean_alnum_per_token": pa.array(mean_len)})
+
+    return ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+
+
+DOC_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+           AS n_tokens_bpe,
+       length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+       CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+           / len(regexp_extract_all(text, '\S+'))
+       ELSE 0.0 END AS mean_alnum_per_token
+FROM documents
+"""
+
+# -------------------------------------------------------- quality score
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality features + filter (stopword ratio, token count band) —
+    the boilerplate-quality gate of a training-data pipeline."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_list = sorted(TS.STOPWORDS)
+
+    def qual(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split()
+        n = toks.str.len().astype("int64")
+        stops = toks.map(lambda ws: sum(w in TS.STOPWORDS for w in ws))
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": n,
+            "n_stop": stops.astype("int64"),
+            "stop_ratio": np.where(n > 0, stops / n.clip(lower=1), 0.0),
+        })
+        return out[(out.n_tokens >= 20) & (out.stop_ratio <= 0.3)]
+
+    _ = stop_list
+    return ds.map_batches(qual, batch_format="pandas").to_pandas()
+
+
+DOC_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))
+           AS n_stop,
+       CASE WHEN len(toks) > 0 THEN
+         len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE
+           / len(toks) ELSE 0.0 END AS stop_ratio
+FROM t
+WHERE len(toks) >= 20
+  AND (len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE
+       / len(toks)) <= 0.3
+"""
+
+# ------------------------------------------------------------ lang id
+
+def doc_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Marker-word language-ID heuristic (argmax, alphabetical
+    tie-break, 'und' when no marker hits)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lang(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "pred_lang": df["text"].map(TS.lang_id)})
+
+    return ds.map_batches(lang, batch_format="pandas").to_pandas()
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lg in sorted(TS.LANG_MARKERS):
+        markers = "[" + ", ".join(f"'{w}'" for w in TS.LANG_MARKERS[lg]) + "]"
+        score_cols.append(
+            f"len(list_filter({markers}, x -> list_contains(toks, x))) AS s_{lg}")
+    langs = sorted(TS.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs) + " END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+  FROM documents),
+s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+SELECT doc_id, {case} AS pred_lang FROM s
+"""
+
+
+DOC_LANG_ID_SQL = _lang_id_sql()
+
+# --------------------------------------------------------- exact dedup
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: content-hash -> hash-partitioned first-wins
+    (keep the minimum doc_id per identical text)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_hash": df["text"].map(
+                lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+            "doc_id": df["doc_id"]})
+
+    from ray.data.aggregate import Min
+    out = (ds.map_batches(h, batch_format="pandas")
+             .groupby("text_hash")
+             .aggregate(Min("doc_id", alias_name="keep_doc_id"),
+                        Count(alias_name="n_copies"))
+             .to_pandas())
+    return out
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+# ----------------------------------------------------- n-gram jaccard
+
+JACCARD_THRESHOLD = 0.2
+
+
+def _shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, shingle, n_shingles) rows — distinct word-3-gram
+    shingles per doc, sizes carried along to avoid a later join."""
+    ids, shs, ns = [], [], []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = text.lower().strip().split()
+        if len(toks) <= 3:
+            sh = {" ".join(toks)}
+        else:
+            sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        for s in sh:
+            ids.append(doc_id)
+            shs.append(s)
+            ns.append(len(sh))
+    return pd.DataFrame({"doc_id": ids, "shingle": shs, "n": ns})
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.2. Pattern:
+    shingle-explode -> groupby(shingle) pair emission -> pair-count
+    aggregation = intersection size -> Jaccard filter. (The LSH variant
+    minhash_lsh_pairs is the sub-quadratic scale path.)"""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    shingles = ds.map_batches(_shingle_rows, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        ns = g["n"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "na": pd.Series([], dtype="int64"),
+                                 "nb": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib],
+                             "na": ns[ia], "nb": ns[ib]})
+
+    out = (shingles.groupby("shingle")
+                   .map_groups(pairs, batch_format="pandas")
+                   .groupby(["doc_a", "doc_b", "na", "nb"])
+                   .aggregate(Count(alias_name="inter"))
+                   .to_pandas())
+    jac = out["inter"] / (out["na"] + out["nb"] - out["inter"])
+    out = out.assign(jaccard=jac)[jac >= JACCARD_THRESHOLD]
+    return out[["doc_a", "doc_b", "inter", "jaccard"]].reset_index(drop=True)
+
+
+NGRAM_JACCARD_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(arr) <= 3
+           THEN [array_to_string(arr, ' ')]
+           ELSE list_transform(generate_series(1, len(arr) - 2),
+                               i -> array_to_string(arr[i:i+2], ' ')) END))
+             AS s
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+# -------------------------------------------------------- embeddings
+
+def embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """Per-vector L2 norm (vectorized fixed-width list -> numpy)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(t), -1)
+        return pa.table({"vec_id": t["vec_id"],
+                         "l2_norm": np.round(np.sqrt((m * m).sum(axis=1)), 6)})
+
+    return ds.map_batches(norms, batch_format="pyarrow").to_pandas()
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                                x -> x * x), 'sum')), 6)
+           AS l2_norm
+FROM embeddings
+"""
+
+
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid, one row per (label, dim). Pattern: per-batch
+    PARTIAL sums (vectorized) -> tiny grouped combine — the
+    pre-aggregation shape that avoids shuffling raw vectors."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(t), -1)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        rows = {"label": [], "dim": [], "s": [], "c": []}
+        for lab in np.unique(labels):
+            sel = m[labels == lab]
+            sums = sel.sum(axis=0)
+            for d in range(m.shape[1]):
+                rows["label"].append(int(lab))
+                rows["dim"].append(d + 1)
+                rows["s"].append(float(sums[d]))
+                rows["c"].append(sel.shape[0])
+        return pa.table(rows)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["label", "dim"])
+             .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+             .to_pandas())
+    out["avg_val"] = np.round(out["s"] / out["c"], 6)
+    return out[["label", "dim", "avg_val"]]
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, dim, round(avg(e), 6) AS avg_val
+FROM (SELECT label, unnest(embedding::DOUBLE[]) AS e,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings)
+GROUP BY 1, 2
+"""
+
+
+KNN_K = 5
+KNN_NUM_QUERIES = 10
+
+
+def knn_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k similarity search: the broadcast-query
+    pattern (query matrix ray.put once; per-batch numpy matmul emits
+    per-batch partial top-k; tiny grouped merge finalizes)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                      filter=(pc.field("vec_id") < KNN_NUM_QUERIES))
+           .to_pandas().sort_values("vec_id"))
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    q_ref = ray.put((qids, Q))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(q_ref)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        V = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(t), -1)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vids >= KNN_NUM_QUERIES
+        V, vids = V[keep], vids[keep]
+        if len(vids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        num = Q_ @ V.T
+        den = (np.linalg.norm(Q_, axis=1)[:, None] *
+               np.linalg.norm(V, axis=1)[None, :])
+        S = np.round(num / den, 6)
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        k = min(KNN_K, S.shape[1])
+        for qi in range(S.shape[0]):
+            idx = np.lexsort((vids, -S[qi]))[:k]
+            rows["query_id"].extend([int(qids_[qi])] * len(idx))
+            rows["neighbor_id"].extend(int(v) for v in vids[idx])
+            rows["score"].extend(float(s) for s in S[qi][idx])
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                         "score": pa.array(rows["score"], pa.float64())})
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True]).head(KNN_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+              .groupby("query_id")
+              .map_groups(final_topk, batch_format="pandas")
+              .to_pandas())
+
+
+KNN_SQL = f"""
+SELECT query_id, neighbor_id, score, rnk AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS score,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]), 6)
+                    DESC, c.vec_id) AS rnk
+  FROM (SELECT * FROM embeddings WHERE vec_id < {KNN_NUM_QUERIES}) q,
+       (SELECT * FROM embeddings WHERE vec_id >= {KNN_NUM_QUERIES}) c)
+WHERE rnk <= {KNN_K}
+"""
+
+
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def cosine_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) via block-wise
+    matmul against a broadcast matrix. O(n^2) baseline — the LSH/IVF
+    bucketing in minhash/knn is the documented scale path."""
+    full = read_table(sf_dir, "embeddings",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    ids = full["vec_id"].to_numpy()
+    m_ref = ray.put((ids, M / np.linalg.norm(M, axis=1, keepdims=True)))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def block(t: pa.Table) -> pa.Table:
+        all_ids, Mn = ray.get(m_ref)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        V = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(t), -1)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        S = np.round(V @ Mn.T, 6)
+        bi, bj = np.nonzero(S >= COSINE_DUP_THRESHOLD)
+        a = vids[bi]
+        b = all_ids[bj]
+        keep = a < b
+        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                         "vec_b": pa.array(b[keep], pa.int64()),
+                         "cosine": pa.array(S[bi, bj][keep], pa.float64())})
+
+    return ds.map_batches(block, batch_format="pyarrow").to_pandas()
+
+
+COSINE_DUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6)
+      >= {COSINE_DUP_THRESHOLD}
+"""
+
+# ------------------------------------------- rows-only (no SQL oracle)
+
+def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash(128)+LSH(16 bands) candidate pairs, verified by exact
+    Jaccard >= 0.2 — the sub-quadratic near-dup path. No SQL oracle
+    (sketch-based); ngram_jaccard_pairs is the exact baseline and the
+    pytest suite asserts this query's pairs are a subset of it."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    NUM_PERMS, NUM_BANDS = 128, 16
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "band": [], "bucket": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.lower().strip().split()
+            if len(toks) <= 3:
+                sh = {" ".join(toks)}
+            else:
+                sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            sig = TS.minhash_signature(sh, num_perms=NUM_PERMS)
+            for band, bucket in enumerate(TS.minhash_bands(sig, NUM_BANDS)):
+                rows["doc_id"].append(doc_id)
+                rows["band"].append(band)
+                rows["bucket"].append(np.int64(bucket - (1 << 63)))
+        return pd.DataFrame(rows)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = (ds.map_batches(sig_rows, batch_format="pandas")
+              .groupby(["band", "bucket"])
+              .map_groups(pairs, batch_format="pandas")
+              .to_pandas())
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    cand = cand.drop_duplicates().reset_index(drop=True)
+    # verify: fetch only the candidate docs' shingle sets
+    needed = sorted(set(cand.doc_a) | set(cand.doc_b))
+    texts = (read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                        filter=pc.field("doc_id").isin(needed)).to_pandas())
+    sets: Dict[int, Set[str]] = {}
+    for doc_id, text in zip(texts["doc_id"], texts["text"]):
+        toks = text.lower().strip().split()
+        sets[doc_id] = ({" ".join(toks)} if len(toks) <= 3 else
+                        {" ".join(toks[i:i + 3])
+                         for i in range(len(toks) - 2)})
+    jac = [TS.jaccard(sets[a], sets[b])
+           for a, b in zip(cand.doc_a, cand.doc_b)]
+    cand = cand.assign(jaccard=jac)
+    return (cand[cand.jaccard >= JACCARD_THRESHOLD]
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Per-document 64-bit SimHash (hex) over word tokens. Rows-only
+    (bit-manipulation sketch, not SQL-expressible)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "simhash": df["text"].map(
+                lambda s: format(TS.simhash64(s.lower().split()), "016x"))})
+
+    return ds.map_batches(sh, batch_format="pandas").to_pandas()

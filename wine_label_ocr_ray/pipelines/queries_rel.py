@@ -1,0 +1,460 @@
+"""Relational + stream-shaped queries over the driver's TPC-H-ish
+tables (the engine's general query capability: filter, project,
+aggregate, join, sort/limit, distinct, union, windows, as-of join).
+
+Every function takes ``sf_dir`` and returns a small pandas DataFrame /
+Dataset; each has a DuckDB oracle twin in queries.py with IDENTICAL
+column names (driver hash-compares sorted columns). Float outputs are
+rounded to 3+ decimals on both sides (see _qutil.round_df).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ._qutil import one_row, read_table, round_df
+
+# ---------------------------------------------------------------- q1
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filtered scan -> grouped aggregate. Pattern:
+    predicate+column pushdown at the read, Ray-native grouped
+    aggregation (internally partial-aggregated per block)."""
+    cutoff = _dt.datetime(1998, 9, 3)
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        filter=(pc.field("l_shipdate") < pa.scalar(cutoff)))
+
+    def derive(t: pa.Table) -> pa.Table:
+        # exact integer-cent arithmetic: sums become order-independent
+        # int64, so parallel partial aggregation is bit-identical to the
+        # sequential DuckDB oracle (no float-rounding boundary risk)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                         pa.int64())
+        tax_c = pc.cast(pc.round(pc.multiply(t["l_tax"], 100.0)), pa.int64())
+        disc_price_e4 = pc.multiply(cents, pc.subtract(pa.scalar(100),
+                                                       disc_c))
+        charge_e6 = pc.multiply(disc_price_e4, pc.add(pa.scalar(100), tax_c))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "price_c": cents, "disc_c": disc_c,
+            "disc_price_e4": disc_price_e4, "charge_e6": charge_e6})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty", alias_name="sum_qty"),
+                        Sum("price_c", alias_name="price_c"),
+                        Sum("disc_c", alias_name="disc_c"),
+                        Sum("disc_price_e4", alias_name="disc_price_e4"),
+                        Sum("charge_e6", alias_name="charge_e6"),
+                        Count(alias_name="count_order"))
+             .to_pandas())
+    n = out["count_order"].astype(np.float64)
+    out["sum_base_price"] = out["price_c"].astype(np.float64) / 100
+    out["sum_disc_price"] = out["disc_price_e4"].astype(np.float64) / 10000
+    out["sum_charge"] = out["charge_e6"].astype(np.float64) / 1000000
+    out["avg_qty"] = out["sum_qty"].astype(np.float64) / n
+    out["avg_price"] = out["price_c"].astype(np.float64) / 100 / n
+    out["avg_disc"] = out["disc_c"].astype(np.float64) / 100 / n
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+                "avg_disc", "count_order"]]
+
+
+Q1_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03')
+SELECT l_returnflag, l_linestatus,
+       sum(qty) AS sum_qty,
+       sum(price_c)::DOUBLE / 100 AS sum_base_price,
+       sum(price_c * (100 - disc_c))::DOUBLE / 10000 AS sum_disc_price,
+       sum(price_c * (100 - disc_c) * (100 + tax_c))::DOUBLE / 1000000
+           AS sum_charge,
+       sum(qty)::DOUBLE / count(*) AS avg_qty,
+       sum(price_c)::DOUBLE / 100 / count(*) AS avg_price,
+       sum(disc_c)::DOUBLE / 100 / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM c GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------- q6
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: tight filter -> global sum (single row)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_discount", "l_quantity",
+                             "l_shipdate"],
+                    filter=((pc.field("l_shipdate") >=
+                             pa.scalar(_dt.datetime(1996, 1, 1))) &
+                            (pc.field("l_shipdate") <
+                             pa.scalar(_dt.datetime(1997, 1, 1)))))
+
+    def rev(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                            pc.less_equal(t["l_discount"], 0.07)),
+                    pc.less(t["l_quantity"], 24.0))
+        t = t.filter(m)
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                          pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                         pa.int64())
+        return pa.table({"revenue_e4": pc.multiply(price_c, disc_c)})
+
+    total = ds.map_batches(rev, batch_format="pyarrow").sum("revenue_e4")
+    return one_row(revenue=float(total or 0) / 10000)
+
+
+Q6_SQL = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT))::DOUBLE / 10000
+    AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------- sort/limit
+
+def top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global sort + limit (top-k by totalprice, deterministic
+    tie-break on orderkey)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return (ds.sort(["o_totalprice", "o_orderkey"],
+                    descending=[True, False])
+              .limit(10).to_pandas())
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+# ------------------------------------------------------------ distinct
+
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    vals = read_table(sf_dir, "customer",
+                      columns=["c_mktsegment"]).unique("c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def count_distinct_cust(sf_dir: str) -> pd.DataFrame:
+    n = len(read_table(sf_dir, "orders",
+                       columns=["o_custkey"]).unique("o_custkey"))
+    return one_row(n_customers=n)
+
+
+COUNT_DISTINCT_SQL = \
+    "SELECT count(DISTINCT o_custkey) AS n_customers FROM orders"
+
+# -------------------------------------------------------------- union
+
+def union_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """Union of two filtered scans -> grouped count."""
+    cols = ["o_orderstatus", "o_orderpriority"]
+    f = read_table(sf_dir, "orders", columns=cols,
+                   filter=(pc.field("o_orderstatus") == "F"))
+    o = read_table(sf_dir, "orders", columns=cols,
+                   filter=(pc.field("o_orderstatus") == "O"))
+    out = (f.union(o).groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n")).to_pandas())
+    return out
+
+
+UNION_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+) GROUP BY o_orderpriority
+"""
+
+# ------------------------------------------------------------- joins
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: broadcast semi-join on the small filtered
+    dimension (customer segment) + hash join orders<->lineitem
+    (Dataset.join, hash-partitioned), grouped revenue, top 10."""
+    import ray
+    seg_keys = set(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+                   filter=(pc.field("c_mktsegment") == "BUILDING"))
+        .unique("c_custkey"))
+    keys_ref = ray.put(np.array(sorted(seg_keys), dtype=np.int64))
+
+    cutoff = _dt.datetime(1996, 3, 15)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        filter=(pc.field("o_orderdate") < pa.scalar(cutoff)))
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(mask)).drop_columns(["o_custkey"])
+
+    orders = orders.map_batches(semi, batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"],
+                    filter=(pc.field("l_shipdate") > pa.scalar(cutoff)))
+
+    def rev(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                          pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                         pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue_e4": pc.multiply(price_c,
+                                      pc.subtract(pa.scalar(100), disc_c))})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (joined.groupby(["l_orderkey", "o_orderdate"])
+                 .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+                 .to_pandas())
+    out["revenue"] = out["revenue_e4"].astype(np.float64) / 10000
+    out = out.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    return out[["o_orderkey", "o_orderdate",
+                "revenue"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey, o_orderdate,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::DOUBLE / 10000
+           AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: small dims (region/nation/customer/supplier)
+    broadcast as lookup arrays; the two big tables join hash-
+    partitioned; revenue grouped by nation name."""
+    import ray
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name", "n_regionkey"]
+                        ).to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    asia_keys = set(region[region.r_name == "ASIA"].r_regionkey)
+    asia_nations = nation[nation.n_regionkey.isin(asia_keys)]
+    nkey_to_name = dict(zip(asia_nations.n_nationkey.astype(int),
+                            asia_nations.n_name))
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nation = dict(zip(cust.c_custkey.astype(int),
+                           cust.c_nationkey.astype(int)))
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nation = dict(zip(supp.s_suppkey.astype(int),
+                           supp.s_nationkey.astype(int)))
+    lookups = ray.put((nkey_to_name, cust_nation, supp_nation))
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >=
+                 pa.scalar(_dt.datetime(1996, 1, 1))) &
+                (pc.field("o_orderdate") <
+                 pa.scalar(_dt.datetime(1997, 1, 1)))))
+
+    def order_nation(t: pa.Table) -> pa.Table:
+        nkey_name, cust_n, _ = ray.get(lookups)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = np.array([cust_n.get(int(k), -1) for k in ck], dtype=np.int64)
+        keep = np.array([k in nkey_name for k in cn])
+        return pa.table({"o_orderkey": pa.array(
+            t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+            "cust_nation": pa.array(cn[keep])})
+
+    orders = orders.map_batches(order_nation, batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+
+    def li_nation(t: pa.Table) -> pa.Table:
+        nkey_name, _, supp_n = ray.get(lookups)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = np.array([supp_n.get(int(k), -1) for k in sk], dtype=np.int64)
+        keep = np.array([k in nkey_name for k in sn])
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev_e4 = price_c * (100 - disc_c)
+        return pa.table({
+            "l_orderkey": pa.array(
+                t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+            "supp_nation": pa.array(sn[keep]),
+            "revenue_e4": pa.array(rev_e4[keep])})
+
+    li = li.map_batches(li_nation, batch_format="pyarrow")
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        nkey_name, _, _ = ray.get(lookups)
+        m = pc.equal(t["supp_nation"], t["cust_nation"])
+        t = t.filter(m)
+        names = [nkey_name[int(k)] for k in t["supp_nation"].to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "revenue_e4": t["revenue_e4"]})
+
+    out = (joined.map_batches(same_nation, batch_format="pyarrow")
+                 .groupby("n_name").aggregate(Sum("revenue_e4",
+                                                  alias_name="revenue_e4"))
+                 .to_pandas())
+    out["revenue"] = out["revenue_e4"].astype(np.float64) / 10000
+    return out[["n_name", "revenue"]]
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::DOUBLE / 10000
+           AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+# ------------------------------------------------------------- events
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h window per event_type (streaming-shaped aggregate:
+    window key computed vectorized, then a grouped agg)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window": pc.floor_temporal(t["ts"], unit="hour"),
+            "value_c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                               pa.int64())})
+
+    out = (ds.map_batches(win, batch_format="pyarrow")
+             .groupby(["event_type", "window"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("value_c", alias_name="value_c"))
+             .to_pandas())
+    out["sum_value"] = out["value_c"].astype(np.float64) / 100
+    return out[["event_type", "window", "n", "sum_value"]]
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min inactivity gap) per user: the reference's
+    stream-session lifecycle (Char_Count_TurnTable.py:141-185 arm/start/
+    end) re-expressed as sorted per-key gap analysis in map_groups."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff()
+        n = int((gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n]})
+
+    return (ds.groupby("user_id")
+              .map_groups(sessions, batch_format="pandas").to_pandas())
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events)
+SELECT user_id,
+       count(*) FILTER (WHERE gap IS NULL OR gap > INTERVAL 30 MINUTE)
+           AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+def events_asof_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-
+    before it by the same user. Ray Data lacks a native as-of join:
+    composed as union-with-side-tag -> groupby(user) -> pd.merge_asof
+    within each sorted group (SURVEY guide pattern)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def split_tag(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["purchase", "click"]))
+        t = t.filter(m)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"],
+            "is_purchase": pc.equal(t["event_type"], "purchase")})
+
+    tagged = ds.map_batches(split_tag, batch_format="pyarrow")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g.is_purchase].sort_values("ts")
+        c = g[~g.is_purchase].sort_values("ts")
+        if p.empty or c.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "click_id": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(p[["event_id", "ts"]],
+                          c[["event_id", "ts"]].rename(
+                              columns={"event_id": "click_id"}),
+                          on="ts", direction="backward")
+        m = m.dropna(subset=["click_id"])
+        return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                             "click_id": m["click_id"].astype("int64")})
+
+    return (tagged.groupby("user_id")
+                  .map_groups(asof, batch_format="pandas").to_pandas())
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.event_id AS event_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""

@@ -1,0 +1,105 @@
+"""Span reassembly + record assembly: the ``groupby(doc_id)`` shuffle.
+
+Re-stitches extracted span rows into per-document ordered span
+sequences (north-rule invariant: ``(kind, text, media_ref, order)``
+sorted by ``offset`` with total tie-break ``(offset, kind,
+media_ref)``), then assembles the reference's record
+(``WineTracker.py:23-29`` / ``scan_and_store.py:166-184``).
+
+Doc-level merge semantics (the reference processes one image per
+record; a document may hold many media spans — merge order is offset
+order, documented here and mirrored by the oracle):
+
+- maker: per-span best maker merged with the crop-level longest-wins
+  update rule (``final_run_ocr.py:321-324``); if the normalized result
+  is empty, fall back to the longest candidate over the OFFSET-ORDER
+  merged raw buckets (``final_run_ocr.py:430-433``).
+- vintage: first media span (by offset) with a vintage (each span
+  already applied YOLO-overwrite + maker-region backup + fallback
+  sweep internally); else first text span whose M3 regex hit.
+- barcode / blob: first media span (by offset) carrying one.
+- custom_id uses the INT vintage (``final_run_ocr.py:435-436``), the
+  canonical key uses the STRING vintage (``scan_and_store.py:46-47``).
+- valid: the empty-key guard (``scan_and_store.py:198-209``).
+
+Rows entering this shuffle are small feature structs (blob features as
+JSON, never pixels), so the all-to-all exchange stays cheap at scale.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List
+
+import pyarrow as pa
+
+from ..functions import text as T
+from ..schema import RECORD_SCHEMA
+
+
+def _merge_raw(raw_jsons: List[str]) -> Dict[str, List]:
+    merged: Dict[str, List] = {}
+    for rj in raw_jsons:
+        if not rj:
+            continue
+        raw = json.loads(rj)
+        for k, v in raw.items():
+            if isinstance(v, list):
+                merged.setdefault(k, []).extend(tuple(x) for x in v)
+            else:  # vintage_from_fallback is a bare string
+                merged.setdefault(k, v)
+    return merged
+
+
+def assemble_doc(rows: List[Dict]) -> Dict:
+    """rows = span rows of ONE document (any order) -> record dict."""
+    rows = sorted(rows, key=lambda r: (r["offset"], r["kind"],
+                                       r["media_ref"] or ""))
+    spans_out = [{"kind": r["kind"], "text": r["span_text"] or "",
+                  "media_ref": r["media_ref"] or "", "order": r["offset"]}
+                 for r in rows]
+    media_rows = [r for r in rows if r["kind"] == "media"]
+
+    maker_raw = None
+    for r in media_rows:
+        m = r["maker_name"]
+        if m and len(m) >= 2 and (not maker_raw or len(m) > len(maker_raw)):
+            maker_raw = m
+    maker_norm = T.normalize_maker(maker_raw) if maker_raw else ""
+    if not maker_norm:
+        maker_norm = T.extract_best_maker_from_raw(
+            _merge_raw([r["raw_json"] for r in media_rows]))
+    maker_out = maker_norm or None
+
+    vintage_str = next((r["vintage_str"] for r in media_rows
+                        if r["vintage_str"]), None)
+    if vintage_str is None:
+        vintage_str = next((r["text_year"] for r in rows
+                            if r["kind"] == "text" and r["text_year"]), None)
+    vintage_int = T.to_int_year(vintage_str)
+
+    barcode = next((r["barcode"] for r in media_rows if r["barcode"]), None)
+    blob_json = next((r["blob_json"] for r in media_rows if r["blob_json"]),
+                     None)
+    blob = json.loads(blob_json) if blob_json else None
+
+    key = T.canonical_key(maker_norm, vintage_str)
+    return {
+        "doc_id": rows[0]["doc_id"],
+        "spans": spans_out,
+        "custom_id": T.custom_id(maker_out, vintage_int),
+        "maker_name": maker_out,
+        "maker_norm": maker_norm,
+        "vintage": vintage_int,
+        "barcode": barcode,
+        "key": key,
+        "record_id": T.hash_id(maker_norm, vintage_str),
+        "valid": not (key == "|" or (not maker_norm and not vintage_str)),
+        "blob": blob,
+    }
+
+
+def assemble_group(group: pa.Table) -> pa.Table:
+    """``groupby("doc_id").map_groups`` callable (pyarrow batch)."""
+    return pa.Table.from_pylist([assemble_doc(group.to_pylist())],
+                                schema=RECORD_SCHEMA)
