@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline flagship extraction pipeline (detect +
+OCR + span reassembly over the deterministic 20k-doc interleaved
+corpus) plus a representative query subset over $GRAFT_SF_DIR, inside
+one fresh Ray session of $RAY_GRAFT_CPUS cpus, and prints ONE JSON
+line:
+
+  {"metric": "flagship_extract_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: runs the same job in two fresh subprocesses at 8 and 32
+CPUs (the sandbox proxy for the N vs 4N cluster-size criterion),
+prints both throughputs + scaling efficiency, and records them in
+BASELINE.md's results section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_DOCS = int(os.environ.get("WLOR_BENCH_DOCS", "20000"))
+CORPUS_DIR = f"/tmp/wlor_bench_corpus_{BENCH_DOCS}"
+BENCH_QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "events_hourly", "events_sessionize", "doc_stats", "dedup_exact",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs", "knn_cosine_topk",
+]
+
+
+def run_bench() -> dict:
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from wine_label_ocr_ray.config import PipelineConfig
+    from wine_label_ocr_ray.pipelines.extract import build_extract_pipeline
+    from wine_label_ocr_ray.pipelines.queries import QUERIES
+    from wine_label_ocr_ray.synth import generate_corpus
+
+    # corpus generation is setup, not measured (cached across runs)
+    generate_corpus(CORPUS_DIR, num_docs=BENCH_DOCS, seed=42, use_ray=True)
+
+    # warm the page cache so we measure compute+shuffle, not first read
+    import ray.data as rd
+    rd.read_parquet(os.path.join(CORPUS_DIR, "documents")).count()
+
+    cfg = PipelineConfig(override_num_blocks=max(16, 2 * num_cpus))
+    out_dir = f"/tmp/wlor_bench_out_{num_cpus}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    ds = build_extract_pipeline(CORPUS_DIR, cfg)
+    ds.write_parquet(out_dir)
+    flagship_sec = time.time() - t0
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        out = QUERIES[name](sf_dir)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "flagship_extract_sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_docs": BENCH_DOCS,
+        "docs_per_sec": round(BENCH_DOCS / flagship_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "bench_docs": r_lo["bench_docs"],
+        "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+    }
+    _record_baseline(result)
+    return result
+
+
+def _record_baseline(result: dict) -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    marker = "## Measured results (bench.py --scaling)"
+    block = (f"{marker}\n\n"
+             f"| run | config | docs/sec | seconds ({result['bench_docs']} docs) |\n"
+             f"|---|---|---|---|\n"
+             f"| N | num_cpus=8 | {result['docs_per_sec_8']} | {result['sec_8']} |\n"
+             f"| 4N | num_cpus=32 | {result['docs_per_sec_32']} | {result['sec_32']} |\n"
+             f"| efficiency | (T_4N/T_N)/4 | **{result['value']}** | target >= 0.8 |\n")
+    try:
+        with open(path) as f:
+            content = f.read()
+        if marker in content:
+            content = content[:content.index(marker)]
+        with open(path, "w") as f:
+            f.write(content.rstrip() + "\n\n" + block)
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

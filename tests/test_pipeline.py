@@ -53,12 +53,10 @@ def test_blob_fingerprints_equal(pipeline_records, expected):
     n_with_blob = 0
     for r in pipeline_records:
         o = expected[r["doc_id"]]
-        if o["blob"] is None:
-            assert r["blob"] is None
-            continue
-        n_with_blob += 1
         assert r["blob"]["blob_fingerprint"] == o["blob"]["blob_fingerprint"]
         assert r["blob"]["blob_count"] == o["blob"]["blob_count"]
+        if o["blob"]["roi_shape"] != [0, 0]:
+            n_with_blob += 1
     assert n_with_blob > 50  # corpus actually exercises the media leg
 
 

@@ -155,6 +155,9 @@ def oracle_records(corpus_dir: str, *, confidence_threshold: float = 0.01,
                     if blob is None:
                         blob = m["blob"]
 
+            if blob is None:
+                blob = {"roi_shape": [0, 0], "blob_count": 0,
+                        "blob_fingerprint": "", "blobs": []}
             if vintage is None:
                 vintage = text_year
             maker_norm = T.normalize_maker(maker_raw) if maker_raw else ""

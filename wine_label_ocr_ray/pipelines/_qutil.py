@@ -29,6 +29,16 @@ def read_table(sf_dir: str, table: str, *, columns: Optional[List[str]] = None,
                                  **kwargs)
 
 
+def join_partitions() -> int:
+    """Hash-join partition count scaled to the cluster: too many
+    partitions on a small cluster thrashes aggregator actors, too few
+    under-parallelizes the build."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, min(cpus, 64))
+
+
 def round_df(df: pd.DataFrame, cols: List[str], digits: int = 3) -> pd.DataFrame:
     """Round float columns so both the Ray result and the DuckDB oracle
     hash identically (round(3+) on doubles cannot hit decimal-half

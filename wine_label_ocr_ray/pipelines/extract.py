@@ -17,7 +17,7 @@ import ray.data
 from ..config import PipelineConfig
 from ..sources.documents import read_documents
 from ..stages.media import MediaExtract
-from ..stages.reassemble import assemble_group
+from ..stages.reassemble import add_bucket, assemble_bucket
 from ..stages.spans import explode_spans, extract_text_spans
 
 
@@ -54,6 +54,17 @@ def build_extract_pipeline(corpus_dir: str,
         concurrency=concurrency,
         num_cpus=cfg.media_num_cpus,
     )
-    grouped = spans.groupby("doc_id")
-    records = grouped.map_groups(assemble_group, batch_format="pyarrow")
+    # Reassembly shuffle: bucket by doc-id hash, assemble every doc of
+    # a bucket in one map_groups call (per-doc map_groups pays ~200us
+    # of slicing overhead per document — prohibitive at 1e12 docs).
+    num_buckets = cfg.assembly_num_partitions
+    if num_buckets is None:
+        import ray
+        total_cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_buckets = max(16, 4 * total_cpus)
+    spans = spans.map_batches(lambda t: add_bucket(t, num_buckets),
+                              batch_format="pyarrow")
+    records = (spans.groupby("bucket")
+                    .map_groups(assemble_bucket, batch_format="pyarrow"))
     return records

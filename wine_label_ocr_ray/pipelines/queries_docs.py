@@ -188,30 +188,27 @@ def _shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
 
 def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard >= 0.2. Pattern:
-    shingle-explode -> groupby(shingle) pair emission -> pair-count
+    shingle-explode on both sides -> hash self-join on the shingle
+    (vectorized Arrow join, no per-group Python) -> pair-count
     aggregation = intersection size -> Jaccard filter. (The LSH variant
     minhash_lsh_pairs is the sub-quadratic scale path.)"""
+    from ._qutil import join_partitions
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    shingles = ds.map_batches(_shingle_rows, batch_format="pandas")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        ns = g["n"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "na": pd.Series([], dtype="int64"),
-                                 "nb": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib],
-                             "na": ns[ia], "nb": ns[ib]})
-
-    out = (shingles.groupby("shingle")
-                   .map_groups(pairs, batch_format="pandas")
-                   .groupby(["doc_a", "doc_b", "na", "nb"])
-                   .aggregate(Count(alias_name="inter"))
-                   .to_pandas())
+    sh_a = (ds.map_batches(_shingle_rows, batch_format="pandas")
+              .map_batches(lambda t: t.rename_columns(
+                  ["doc_a", "shingle", "na"]), batch_format="pyarrow"))
+    ds_b = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sh_b = (ds_b.map_batches(_shingle_rows, batch_format="pandas")
+                .map_batches(lambda t: t.rename_columns(
+                    ["doc_b", "shingle", "nb"]), batch_format="pyarrow"))
+    joined = sh_a.join(sh_b, join_type="inner",
+                       num_partitions=join_partitions(), on=("shingle",))
+    joined = joined.map_batches(
+        lambda t: t.filter(pc.less(t["doc_a"], t["doc_b"])),
+        batch_format="pyarrow")
+    out = (joined.groupby(["doc_a", "doc_b", "na", "nb"])
+                 .aggregate(Count(alias_name="inter"))
+                 .to_pandas())
     jac = out["inter"] / (out["na"] + out["nb"] - out["inter"])
     out = out.assign(jaccard=jac)[jac >= JACCARD_THRESHOLD]
     return out[["doc_a", "doc_b", "inter", "jaccard"]].reset_index(drop=True)

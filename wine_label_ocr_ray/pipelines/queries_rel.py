@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ._qutil import one_row, read_table, round_df
+from ._qutil import join_partitions, one_row, read_table, round_df
 
 # ---------------------------------------------------------------- q1
 
@@ -231,7 +231,8 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
                                       pc.subtract(pa.scalar(100), disc_c))})
 
     li = li.map_batches(rev, batch_format="pyarrow")
-    joined = li.join(orders, join_type="inner", num_partitions=16,
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = (joined.groupby(["l_orderkey", "o_orderdate"])
                  .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
@@ -323,7 +324,8 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
             "revenue_e4": pa.array(rev_e4[keep])})
 
     li = li.map_batches(li_nation, batch_format="pyarrow")
-    joined = li.join(orders, join_type="inner", num_partitions=16,
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def same_nation(t: pa.Table) -> pa.Table:
