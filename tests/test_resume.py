@@ -1,0 +1,81 @@
+"""Checkpoint/resume: kill after k partitions, restart, assert the
+final table equals a clean run with no duplicated or recomputed
+partitions (SURVEY.md section 5.2)."""
+
+import glob
+import os
+
+import pyarrow.dataset as pads
+import pytest
+
+from wine_label_ocr_ray.stages.checkpoint import (committed_partitions,
+                                                  run_checkpointed)
+from wine_label_ocr_ray.synth import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt") / "corpus")
+    # 4 shards so the fail-after-2 test is meaningful
+    generate_corpus(out, num_docs=400, seed=7, num_shards=4)
+    return out
+
+
+def _read_sorted(out_dir):
+    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    t = pads.dataset(files).to_table()
+    return t.sort_by("doc_id")
+
+
+def test_crash_then_resume_equals_clean_run(ray_session, corpus, tmp_path):
+    crash_dir = str(tmp_path / "crash_out")
+    clean_dir = str(tmp_path / "clean_out")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(corpus, crash_dir, fail_after=2)
+    committed = committed_partitions(crash_dir)
+    assert len(committed) == 2
+
+    # record commit mtimes to prove the resume does not recompute them
+    mtimes = {name: os.path.getmtime(
+        os.path.join(crash_dir, "_manifests", f"{name}.json"))
+        for name in committed}
+
+    summary = run_checkpointed(corpus, crash_dir)
+    assert summary["executed"] == 2 and summary["skipped"] == 2
+    for name, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(
+            crash_dir, "_manifests", f"{name}.json")) == mt
+
+    clean = run_checkpointed(corpus, clean_dir)
+    assert clean["executed"] == 4 and clean["skipped"] == 0
+
+    t_resumed = _read_sorted(crash_dir)
+    t_clean = _read_sorted(clean_dir)
+    assert t_resumed.num_rows == t_clean.num_rows == 400
+    assert t_resumed.equals(t_clean)
+
+
+def test_manifest_metrics(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "m_out")
+    summary = run_checkpointed(corpus, out)
+    m = summary["metrics"]
+    assert m["rows"] == 400
+    assert 0 < m["valid"] <= 400
+    assert m["vintage_found"] > 100
+    assert m["maker_found"] > 100
+    for manifest in committed_partitions(out).values():
+        assert manifest["lineage"]["config_hash"]
+        assert manifest["metrics"]["rows"] > 0
+        assert 0.0 <= manifest["metrics"]["mean_ocr_conf"] <= 1.0
+
+
+def test_lineage_mismatch_recomputes(ray_session, corpus, tmp_path):
+    """Changing a semantic config knob invalidates committed
+    partitions (config hash is part of lineage)."""
+    from wine_label_ocr_ray.config import PipelineConfig
+    out = str(tmp_path / "l_out")
+    run_checkpointed(corpus, out)
+    summary = run_checkpointed(corpus, out,
+                               PipelineConfig(confidence_threshold=0.5))
+    assert summary["executed"] == 4 and summary["skipped"] == 0

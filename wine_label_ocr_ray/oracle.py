@@ -166,7 +166,10 @@ def oracle_records(corpus_dir: str, *, confidence_threshold: float = 0.01,
             maker_out = maker_norm or None
             vintage_int = T.to_int_year(vintage)
             key = T.canonical_key(maker_norm, vintage)
+            confs = [c for arr in merged_raw.values()
+                     if isinstance(arr, list) for (_t, c) in arr]
             out[doc_id] = {
+                "mean_ocr_conf": (sum(confs) / len(confs)) if confs else 0.0,
                 "doc_id": doc_id,
                 "spans": spans_out,
                 "custom_id": T.custom_id(maker_out, vintage_int),

@@ -22,9 +22,12 @@ from ..stages.spans import explode_spans, extract_text_spans
 
 
 def build_extract_pipeline(corpus_dir: str,
-                           cfg: Optional[PipelineConfig] = None
+                           cfg: Optional[PipelineConfig] = None,
+                           doc_files: Optional[list] = None
                            ) -> "ray.data.Dataset":
-    """Returns the lazy record Dataset (schema: schema.RECORD_SCHEMA)."""
+    """Returns the lazy record Dataset (schema: schema.RECORD_SCHEMA).
+    ``doc_files`` restricts the read to specific document shard files
+    (the checkpointed runner's partition unit)."""
     from .._rayprep import ensure_serializable
     ensure_serializable()
     cfg = cfg or PipelineConfig()
@@ -37,8 +40,13 @@ def build_extract_pipeline(corpus_dir: str,
             if ray.is_initialized() else 4
         concurrency = max(2, int(total_cpus * 0.5 / cfg.media_num_cpus))
 
-    docs = read_documents(corpus_dir,
-                          override_num_blocks=cfg.override_num_blocks)
+    if doc_files is not None:
+        import ray.data as rd
+        docs = rd.read_parquet(doc_files,
+                               override_num_blocks=cfg.override_num_blocks)
+    else:
+        docs = read_documents(corpus_dir,
+                              override_num_blocks=cfg.override_num_blocks)
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
     spans = spans.map_batches(extract_text_spans, batch_format="pyarrow")
     spans = spans.map_batches(

@@ -31,6 +31,75 @@ def flagship_extract(sf_dir: str):
                               "record_id", "valid"])
 
 
+def dedup_decision(sf_dir: str) -> pd.DataFrame:
+    """Scan-and-store decision pipeline (reference J1/J2): first half
+    of the flagship records (by doc_id) forms the committed DB
+    (broadcast), the second half is probed — exact key, then
+    vintage-blocked token_set_ratio fuzzy argmax (threshold 85)."""
+    from ..stages.dedup import decide_against_db
+
+    recs = flagship_extract(sf_dir).to_pandas()
+    recs = recs[recs.valid].sort_values("doc_id").reset_index(drop=True)
+    recs["vintage_str"] = recs["key"].str.rsplit("|", n=1).str[1]
+    recs.loc[recs.vintage_str == "", "vintage_str"] = None
+    half = len(recs) // 2
+    db = [{"maker_norm": r.maker_norm, "vintage": r.vintage_str,
+           "key": r.key, "id": r.record_id}
+          for r in recs.iloc[:half].itertuples()]
+    probes = recs.iloc[half:][["doc_id", "maker_norm", "vintage_str"]]
+    import ray.data as rd
+    ds = rd.from_pandas(probes)
+    out = decide_against_db(ds, db).to_pandas()
+    return out[["doc_id", "decision", "score", "match_id", "reason"]]
+
+
+def blob_near_dup(sf_dir: str) -> pd.DataFrame:
+    """D4 geometric blob near-dup pairs over flagship records, blocked
+    by vintage (reference pairwise comparison generalized)."""
+    from ..stages.dedup import blob_near_dup_pairs
+
+    ds = flagship_extract_full(sf_dir)
+    return blob_near_dup_pairs(ds).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def media_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: actor-pool image-feature stage over the
+    derived corpus's media payloads (deterministic fake decode backend;
+    real codecs are stubbed — see stages/multimodal.py)."""
+    import numpy as np
+
+    from ..stages.multimodal import image_features
+    from ..synth import derive_corpus_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus = derive_corpus_from_documents(
+        os.path.join(sf_dir, "documents.parquet"),
+        f"/tmp/wlor_corpus_{tag}", seed=42)
+    feats = image_features(os.path.join(corpus, "media")).to_pandas()
+    return pd.DataFrame({
+        "n_images": [len(feats)],
+        "avg_mean_val": [round(float(np.mean(feats.mean_val)), 4)],
+        "avg_std_val": [round(float(np.mean(feats.std_val)), 4)],
+        "max_height": [int(feats.height.max())],
+        "max_width": [int(feats.width.max())],
+    })
+
+
+def flagship_extract_full(sf_dir: str):
+    """Flagship records including the blob struct (internal helper for
+    blob_near_dup; not registered — nested outputs stress the driver's
+    hash compare)."""
+    from ..pipelines.extract import build_extract_pipeline
+    from ..synth import derive_corpus_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus = derive_corpus_from_documents(
+        os.path.join(sf_dir, "documents.parquet"),
+        f"/tmp/wlor_corpus_{tag}", seed=42)
+    return build_extract_pipeline(corpus)
+
+
 def record_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact record-level dedup over flagship output: first-wins per
     canonical key among valid records (reference D1 semantics,
@@ -76,8 +145,12 @@ QUERIES = {
     # rows-only (non-SQL-expressible)
     "minhash_lsh_pairs": D.minhash_lsh_pairs,
     "simhash_fingerprints": D.simhash_fingerprints,
+    "knn_lsh_topk": D.knn_lsh_topk,
     "flagship_extract": flagship_extract,
     "record_dedup_exact": record_dedup_exact,
+    "dedup_decision": dedup_decision,
+    "blob_near_dup": blob_near_dup,
+    "media_decode_stats": media_decode_stats,
 }
 
 ORACLE_SQL = {

@@ -486,6 +486,84 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
+_LSH_NBITS = 6
+_LSH_PLANES = np.random.RandomState(123).randn(_LSH_NBITS, 64)
+
+
+def _lsh_bucket(V: np.ndarray) -> np.ndarray:
+    """Random-hyperplane LSH bucket ids for rows of V."""
+    bits = (V @ _LSH_PLANES.T) > 0
+    return (bits.astype(np.uint32) <<
+            np.arange(_LSH_NBITS, dtype=np.uint32)).sum(axis=1)
+
+
+def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k cosine search: candidates limited
+    to vectors whose 8-bit hyperplane signature is within Hamming
+    distance 1 of the query's — the sub-linear scale path next to the
+    brute-force baseline (knn_cosine_topk). Rows-only; pytest checks
+    recall against the exact result."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                      filter=(pc.field("vec_id") < KNN_NUM_QUERIES))
+           .to_pandas().sort_values("vec_id"))
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    qb = _lsh_bucket(Q)
+    # allowed buckets per query: exact + hamming-1 neighborhood
+    allowed = []
+    for b in qb:
+        near = {int(b)}
+        near |= {int(b) ^ (1 << i) for i in range(_LSH_NBITS)}
+        near |= {int(b) ^ (1 << i) ^ (1 << j)
+                 for i in range(_LSH_NBITS) for j in range(i + 1, _LSH_NBITS)}
+        allowed.append(near)
+    q_ref = ray.put((qids, Q, allowed))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, Q_, allowed_ = ray.get(q_ref)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        V = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(t), -1)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vids >= KNN_NUM_QUERIES
+        V, vids = V[keep], vids[keep]
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        if len(vids):
+            vb = _lsh_bucket(V)
+            vnorm = np.linalg.norm(V, axis=1)
+            for qi in range(len(qids_)):
+                cand = np.fromiter((int(b) in allowed_[qi] for b in vb),
+                                   dtype=bool, count=len(vb))
+                if not cand.any():
+                    continue
+                Vc, vc, nc = V[cand], vids[cand], vnorm[cand]
+                s = np.round((Vc @ Q_[qi]) /
+                             (np.linalg.norm(Q_[qi]) * nc), 6)
+                idx = np.lexsort((vc, -s))[:KNN_K]
+                rows["query_id"].extend([int(qids_[qi])] * len(idx))
+                rows["neighbor_id"].extend(int(v) for v in vc[idx])
+                rows["score"].extend(float(x) for x in s[idx])
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"],
+                                                 pa.int64()),
+                         "score": pa.array(rows["score"], pa.float64())})
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True]).head(KNN_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+              .groupby("query_id")
+              .map_groups(final_topk, batch_format="pandas")
+              .to_pandas())
+
+
 def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Per-document 64-bit SimHash (hex) over word tokens. Rows-only
     (bit-manipulation sketch, not SQL-expressible)."""

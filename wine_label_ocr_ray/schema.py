@@ -67,5 +67,6 @@ RECORD_SCHEMA = pa.schema([
     ("key", pa.string()),
     ("record_id", pa.string()),
     ("valid", pa.bool_()),        # False for the empty-key guard (M28)
+    ("mean_ocr_conf", pa.float64()),
     ("blob", BLOB_STRUCT),
 ])

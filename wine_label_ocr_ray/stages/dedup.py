@@ -1,0 +1,153 @@
+"""Record-level dedup stages (reference J1/J2/D1/D4 semantics).
+
+- ``decide_against_db``: the scan-and-store decision
+  (``ocr_scripts[NOT BEING USED]/scan_and_store.py:122-164``): exact
+  canonical-key hit -> ("seen", 100); else fuzzy token_set_ratio over
+  maker_norm with vintage blocking (same-vintage candidates preferred,
+  +5 bonus capped at 100) and threshold 85. The DB is the small side:
+  broadcast once via ``ray.put``, read in every batch (no shuffle).
+- ``blob_near_dup_pairs``: D4 geometric near-dup
+  (``similarity_functions/BlobSimilarity.py:105-144``) over candidate
+  pairs blocked by vintage (the reference's J2 blocking key reused) —
+  pairwise scoring only within blocks, never all-to-all.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import fuzzy as F
+from ..functions.blobs import blob_similarity
+
+
+def best_match(db: List[Dict], maker_norm: str, vintage: Optional[str],
+               maker_threshold: int = 85):
+    """Exact port of ``scan_and_store.best_match`` (:122-164) against a
+    list of {maker_norm, vintage, key, id} records."""
+    if not db:
+        return "not seen", None, 0, "db empty"
+    key = f"{maker_norm}|{vintage or ''}"
+    for it in db:
+        if it.get("key") == key and key != "|":
+            return "seen", it, 100, "exact canonical key match"
+    cands = db
+    if vintage:
+        same_vintage = [it for it in db if it.get("vintage") == vintage]
+        if same_vintage:
+            cands = same_vintage
+    best_item, best_score = None, -1
+    for it in cands:
+        score = F.token_set_ratio(maker_norm, it.get("maker_norm", ""))
+        if vintage and it.get("vintage") == vintage:
+            score = min(100, score + 5)
+        if score > best_score:
+            best_score = score
+            best_item = it
+    if best_score >= maker_threshold and best_item:
+        return "seen", best_item, best_score, \
+            f"fuzzy maker match >= {maker_threshold}"
+    return "not seen", best_item, best_score, "no sufficient match"
+
+
+class DedupDecide:
+    """Actor-pool ``map_batches`` stage: the committed DB is fetched
+    once per actor from the object store (broadcast small side)."""
+
+    def __init__(self, db_ref, maker_threshold: int = 85):
+        import ray
+        self.db: List[Dict] = ray.get(db_ref)
+        self.maker_threshold = maker_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        makers = batch.column("maker_norm").to_pylist()
+        vintages = batch.column("vintage_str").to_pylist() \
+            if "vintage_str" in batch.schema.names else \
+            [str(v) if v is not None else None
+             for v in batch.column("vintage").to_pylist()]
+        decisions, scores, match_ids, reasons = [], [], [], []
+        for mn, vs in zip(makers, vintages):
+            decision, item, score, reason = best_match(
+                self.db, mn or "", vs, self.maker_threshold)
+            decisions.append(decision)
+            scores.append(int(score))
+            match_ids.append(item.get("id") if item else None)
+            reasons.append(reason)
+        return (batch
+                .append_column("decision", pa.array(decisions, pa.string()))
+                .append_column("score", pa.array(scores, pa.int64()))
+                .append_column("match_id", pa.array(match_ids, pa.string()))
+                .append_column("reason", pa.array(reasons, pa.string())))
+
+
+def decide_against_db(records_ds, db_records: List[Dict], *,
+                      maker_threshold: int = 85, concurrency: int = 2):
+    """records Dataset (maker_norm, vintage[, vintage_str]) -> same +
+    decision/score/match_id/reason columns."""
+    import ray
+    db_ref = ray.put(db_records)
+    return records_ds.map_batches(
+        DedupDecide,
+        fn_constructor_kwargs=dict(db_ref=db_ref,
+                                   maker_threshold=maker_threshold),
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def blob_pairs_in_block(g: pd.DataFrame, *, threshold: float,
+                        pair_threshold: float) -> pd.DataFrame:
+    """Pairwise blob similarity within one vintage block."""
+    rows = g.sort_values("doc_id").to_dict("records")
+    out = {"doc_a": [], "doc_b": [], "blob_score": [], "similar": []}
+    for i in range(len(rows)):
+        bi = json.loads(rows[i]["blob_json"])
+        for j in range(i + 1, len(rows)):
+            bj = json.loads(rows[j]["blob_json"])
+            similar, details = blob_similarity(
+                bi, bj, threshold=threshold, pair_threshold=pair_threshold,
+                return_details=True)
+            if details["score"] > 0.0:
+                out["doc_a"].append(rows[i]["doc_id"])
+                out["doc_b"].append(rows[j]["doc_id"])
+                out["blob_score"].append(round(details["score"], 6))
+                out["similar"].append(bool(similar))
+    return pd.DataFrame(out) if out["doc_a"] else pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="object"),
+         "doc_b": pd.Series([], dtype="object"),
+         "blob_score": pd.Series([], dtype="float64"),
+         "similar": pd.Series([], dtype="bool")})
+
+
+def blob_near_dup_pairs(records_ds, *, threshold: float = 0.55,
+                        pair_threshold: float = 0.22):
+    """records Dataset with (doc_id, vintage, blob) -> candidate pairs
+    scored by D4 within vintage blocks. Records without vintage or
+    without blobs are excluded (empty sides always decide False,
+    ``BlobSimilarity.py:123-127``)."""
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        blob = t["blob"]
+        if isinstance(blob, pa.ChunkedArray):
+            blob = blob.combine_chunks()
+        counts = pc.struct_field(blob, "blob_count")
+        keep = pc.and_(pc.greater(counts, 0),
+                       pc.is_valid(t["vintage"]))
+        t2 = t.filter(keep)
+        blob2 = t2["blob"]
+        if isinstance(blob2, pa.ChunkedArray):
+            blob2 = blob2.combine_chunks()
+        payload = [json.dumps(b) for b in blob2.to_pylist()]
+        return pa.table({"doc_id": t2["doc_id"],
+                         "vintage": t2["vintage"],
+                         "blob_json": pa.array(payload, pa.string())})
+
+    import functools
+    fn = functools.partial(blob_pairs_in_block, threshold=threshold,
+                           pair_threshold=pair_threshold)
+    return (records_ds.map_batches(prep, batch_format="pyarrow")
+                      .groupby("vintage")
+                      .map_groups(fn, batch_format="pandas"))

@@ -90,8 +90,12 @@ def assemble_doc(rows: List[Dict]) -> Dict:
     # struct: parquet cannot write null structs with list children
     blob = json.loads(blob_json) if blob_json else EMPTY_BLOB
 
+    confs = [c for arr in _merge_raw([r["raw_json"] for r in media_rows]
+                                     ).values() if isinstance(arr, list)
+             for (_t, c) in arr]
     key = T.canonical_key(maker_norm, vintage_str)
     return {
+        "mean_ocr_conf": (sum(confs) / len(confs)) if confs else 0.0,
         "doc_id": rows[0]["doc_id"],
         "spans": spans_out,
         "custom_id": T.custom_id(maker_out, vintage_int),
