@@ -1,0 +1,97 @@
+"""Tests for the numpy image-preprocessing ops (M2/M12/M15/M17) and
+the BlobAnalyzer ROI/alignment flags."""
+
+import numpy as np
+import pytest
+
+from wine_label_ocr_ray.functions import enhance as E
+from wine_label_ocr_ray.state.engines import BlobAnalyzer
+
+
+def _label_image():
+    """Dark background with a bright centered 'label' block containing
+    texture."""
+    rng = np.random.RandomState(3)
+    img = (rng.rand(80, 120) * 20).astype(np.uint8)
+    img[20:60, 30:90] = 160
+    img[25:55:4, 35:85] = 240  # texture lines -> variance
+    return img
+
+
+def test_edge_map_marks_boundaries():
+    img = _label_image()
+    edges = E.edge_map(img)
+    assert edges.dtype == np.uint8
+    assert edges[20, 60] == 255 or edges[19, 60] == 255  # top border
+    assert edges[40, 60] in (0, 255)
+    assert edges[:10, :10].sum() == 0  # flat background
+
+
+def test_clahe_stretches_contrast():
+    img = np.full((64, 64), 100, dtype=np.uint8)
+    img[::2, ::2] = 110
+    out = E.clahe(img)
+    assert out.shape == img.shape
+    # clip-limited equalization widens the 10-level band somewhat
+    assert int(out.max()) - int(out.min()) > 10
+    # unlimited clip -> full equalization stretch
+    wide = E.clahe(img, clip_limit=1000.0)
+    assert wide.max() > 200
+
+
+def test_unsharp_and_adaptive_threshold():
+    img = _label_image()
+    sharp = E.unsharp(img)
+    assert sharp.shape == img.shape and sharp.dtype == np.uint8
+    binar = E.adaptive_threshold(sharp)
+    assert set(np.unique(binar)) <= {0, 255}
+
+
+def test_enhance_for_ocr_upscales_small():
+    img = _label_image()  # max dim 120 < 250 -> 2x upscale
+    sharp, binar = E.enhance_for_ocr(img)
+    assert sharp.shape == (160, 240)
+    assert binar.shape == (160, 240)
+
+
+def test_rotate_nearest_identity_and_90():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert (E.rotate_nearest(img, 0) == img).all()
+    r90 = E.rotate_nearest(img, 90)
+    assert r90.shape == img.shape
+    # rotating back recovers most pixels (nearest-neighbor loss at edges)
+    back = E.rotate_nearest(r90, -90)
+    agree = (back == img).mean()
+    assert agree > 0.8
+
+
+def test_find_label_roi_centers_on_label():
+    img = _label_image()
+    x1, y1, x2, y2 = E.find_label_roi(img)
+    # the detected ROI must overlap the label block substantially
+    ix1, iy1, ix2, iy2 = max(x1, 30), max(y1, 20), min(x2, 90), min(y2, 60)
+    inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+    assert inter / ((90 - 30) * (60 - 20)) > 0.5
+
+
+def test_find_label_roi_fallback_margin_box():
+    flat = np.full((50, 100), 7, dtype=np.uint8)
+    assert E.find_label_roi(flat) == (10, 5, 90, 45)
+
+
+def test_align_vertically_straightens():
+    base = np.zeros((60, 60), dtype=np.uint8)
+    base[:, 28:32] = 255  # vertical bar: already aligned
+    tilted = E.rotate_nearest(base, 20)
+    aligned, angle = E.align_vertically(tilted)
+    assert abs(abs(angle) - 20) <= 3  # recovered the tilt (sign per sweep)
+
+
+def test_blob_analyzer_flags():
+    img = _label_image()
+    base = BlobAnalyzer(30.0).analyze(img)
+    cropped = BlobAnalyzer(30.0, crop_label=True).analyze(img)
+    assert base["roi_shape"] == [80, 120]
+    assert cropped["roi_shape"] != [80, 120]  # ROI crop applied
+    aligned = BlobAnalyzer(30.0, skip_alignment=False).analyze(img)
+    assert set(aligned.keys()) == set(base.keys())  # schema fixed

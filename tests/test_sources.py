@@ -1,0 +1,89 @@
+"""JSONL/TXT record source + sink parity tests (reference S4/S5/K1/K2),
+plus the streaming-op queries without SQL oracles (EMA vs pandas ewm)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from wine_label_ocr_ray.sources.jsonl import read_records, write_records
+
+REFERENCE_CELLAR = "/root/reference/storing_images/cellar.jsonl"
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_CELLAR),
+                    reason="reference checkout not present")
+def test_read_reference_cellar_jsonl(ray_session):
+    df = read_records(REFERENCE_CELLAR).to_pandas()
+    assert len(df) == 7
+    assert set(df.id) == {"27993750d37b", "0ab9dc89f8e9", "2e96fea6aea0",
+                          "244218444cd3", "57aa51135d61", "dc297aee4512",
+                          "7ec2a53364ad"}
+
+
+def test_backfill_missing_key_and_id(ray_session, tmp_path):
+    p = tmp_path / "db.jsonl"
+    p.write_text('{"maker_norm": "OPUS ONE", "vintage": "2019"}\n'
+                 '{"maker_norm": "MERLOT"}\n')
+    df = read_records(str(p)).to_pandas().sort_values("maker_norm")
+    assert list(df.key) == ["MERLOT|", "OPUS ONE|2019"]
+    from wine_label_ocr_ray.functions.text import hash_id
+    assert list(df.id) == [hash_id("MERLOT", None),
+                           hash_id("OPUS ONE", "2019")]
+
+
+def test_read_txt_keys(ray_session, tmp_path):
+    p = tmp_path / "db.txt"
+    p.write_text("# comment line\nOPUS ONE|2019\nMERLOT|\nBARE KEY\n\n")
+    df = read_records(str(p)).to_pandas()
+    assert len(df) == 3
+    row = df[df.maker_norm == "OPUS ONE"].iloc[0]
+    assert row.vintage == "2019" and row.key == "OPUS ONE|2019"
+    bare = df[df.maker_norm == "BARE KEY"].iloc[0]
+    assert bare.vintage is None or pd.isna(bare.vintage)
+
+
+def test_write_and_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    src = rd.from_items([
+        {"maker_norm": "OPUS ONE", "vintage": "2019",
+         "key": "OPUS ONE|2019", "id": "abc"},
+        {"maker_norm": "MERLOT", "vintage": None,
+         "key": "MERLOT|", "id": "def"},
+    ])
+    out = str(tmp_path / "out_jsonl")
+    write_records(src, out)
+    files = [os.path.join(out, f) for f in os.listdir(out)]
+    back = pd.concat([read_records(f).to_pandas() for f in files])
+    assert set(back.key) == {"OPUS ONE|2019", "MERLOT|"}
+
+
+def test_events_ema_matches_pandas_ewm(ray_session):
+    import duckdb
+
+    from wine_label_ocr_ray.pipelines.queries import QUERIES
+    out = QUERIES["events_ema"]("/root/testdata/sf0.01")
+    events = duckdb.connect().execute(
+        "select user_id, ts, value from "
+        "'/root/testdata/sf0.01/events.parquet' order by user_id, ts").df()
+    ref = (events.groupby("user_id")["value"]
+           .apply(lambda s: round(float(
+               s.ewm(alpha=0.25, adjust=False).mean().iloc[-1]), 6)))
+    got = dict(zip(out.user_id, out.ema_value))
+    for uid, expected in ref.items():
+        assert got[uid] == pytest.approx(expected, abs=1e-9), uid
+
+
+def test_simhash_near_dup_consistent(ray_session):
+    from wine_label_ocr_ray.functions.textstats import hamming64, simhash64
+    from wine_label_ocr_ray.pipelines.queries import QUERIES
+    import duckdb
+    pairs = QUERIES["simhash_near_dup"]("/root/testdata/sf0.01")
+    texts = dict(duckdb.connect().execute(
+        "select doc_id, text from "
+        "'/root/testdata/sf0.01/documents.parquet'").fetchall())
+    for r in pairs.head(50).itertuples():
+        ha = simhash64(texts[r.doc_a].lower().split())
+        hb = simhash64(texts[r.doc_b].lower().split())
+        assert hamming64(ha, hb) == r.hamming
+        assert r.hamming <= 12

@@ -27,7 +27,14 @@ class PipelineConfig:
     # cluster CPUs (min 2): a pool reserving every CPU starves the read/
     # shuffle stages and the pipeline serializes (or deadlocks).
     media_concurrency: Union[int, Tuple[int, int], None] = None
-    media_batch_size: int = 256
+    media_batch_size: int = 1024
     media_num_cpus: float = 1.0
     override_num_blocks: Optional[int] = None
     assembly_num_partitions: Optional[int] = None
+
+    # blob-leg options (hybrid.py:277-289 kwargs)
+    crop_label: bool = False
+    skip_alignment: bool = True
+
+    # debug composite side-output dir (hybrid.py:367-413); None = off
+    debug_out: Optional[str] = None

@@ -1,0 +1,186 @@
+"""Image preprocessing ops for the media leg (numpy ports of the
+reference's cv2 chains; exact cv2 bit-parity is NOT claimed — the
+formulas and parameters follow the cited call sites, and pipeline/
+oracle share these implementations).
+
+- ``edge_map``        -> ``Photo_Stitch.py:169-176`` (Canny+dilate ->
+  here gradient-magnitude threshold + 2x2 dilate)
+- ``clahe``           -> cv2.createCLAHE(2.0, 8x8) in
+  ``final_run_ocr.py:94`` / ``Char_Count_TurnTable.py:63``
+- ``unsharp``         -> addWeighted(g,1.5,blur,-0.5) ``final_run_ocr.py:100-101``
+- ``adaptive_threshold`` -> adaptiveThreshold(GAUSSIAN, 31, 7)
+  ``final_run_ocr.py:102-104``
+- ``enhance_for_ocr`` -> ``_enhance_for_ocr`` chain ``final_run_ocr.py:92-105``
+  (bilateral step approximated by a gaussian blur; documented divergence)
+- ``rotate_nearest``  -> imutils.rotate equivalent used by alignment
+  (``hybrid.py:148-170``)
+- ``find_label_roi``  -> ``hybrid.py:102-146`` scoring heuristic
+- ``align_vertically``-> ``hybrid.py:148-170`` rotation search
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+from .imaging import (KERNEL_2X2, _binary_dilate, connected_components,
+                      otsu_threshold)
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def gaussian_blur(gray: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """Separable gaussian blur with reflect padding."""
+    radius = max(1, int(3 * sigma + 0.5))
+    k = _gaussian_kernel1d(sigma, radius)
+    img = gray.astype(np.float64)
+    padded = np.pad(img, ((radius, radius), (0, 0)), mode="reflect")
+    img = sum(k[i] * padded[i:i + gray.shape[0]] for i in range(len(k)))
+    padded = np.pad(img, ((0, 0), (radius, radius)), mode="reflect")
+    img = sum(k[i] * padded[:, i:i + gray.shape[1]] for i in range(len(k)))
+    return img
+
+
+def edge_map(gray: np.ndarray, threshold: float = 60.0) -> np.ndarray:
+    """Gradient-magnitude edge map + 2x2 dilate (stand-in for the
+    reference's Canny(50,150) + dilate, Photo_Stitch.py:169-176)."""
+    g = gaussian_blur(gray, 1.0)
+    gx = np.zeros_like(g)
+    gy = np.zeros_like(g)
+    gx[:, 1:-1] = g[:, 2:] - g[:, :-2]
+    gy[1:-1, :] = g[2:, :] - g[:-2, :]
+    mag = np.hypot(gx, gy)
+    edges = (mag > threshold)
+    return _binary_dilate(edges, KERNEL_2X2).astype(np.uint8) * 255
+
+
+def clahe(gray: np.ndarray, clip_limit: float = 2.0,
+          tiles: Tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Tile-based contrast-limited histogram equalization (bilinear
+    tile interpolation omitted: per-tile equalization only)."""
+    H, W = gray.shape
+    th, tw = max(1, H // tiles[0]), max(1, W // tiles[1])
+    out = np.empty_like(gray)
+    for ty in range(0, H, th):
+        for tx in range(0, W, tw):
+            tile = gray[ty:ty + th, tx:tx + tw]
+            hist = np.bincount(tile.reshape(-1), minlength=256).astype(
+                np.float64)
+            clip = clip_limit * tile.size / 256.0
+            excess = np.maximum(hist - clip, 0).sum()
+            hist = np.minimum(hist, clip) + excess / 256.0
+            cdf = hist.cumsum()
+            cdf = (cdf / cdf[-1] * 255.0)
+            out[ty:ty + th, tx:tx + tw] = cdf[tile].astype(np.uint8)
+    return out
+
+
+def unsharp(gray: np.ndarray, sigma: float = 1.0, amount: float = 1.5,
+            sub: float = 0.5) -> np.ndarray:
+    blur = gaussian_blur(gray, sigma)
+    sharp = amount * gray.astype(np.float64) - sub * blur
+    return np.clip(sharp, 0, 255).astype(np.uint8)
+
+
+def adaptive_threshold(gray: np.ndarray, block: int = 31,
+                       c: float = 7.0) -> np.ndarray:
+    """Gaussian-weighted adaptive threshold -> 0/255."""
+    sigma = 0.3 * ((block - 1) * 0.5 - 1) + 0.8  # cv2's sigma heuristic
+    mean = gaussian_blur(gray, sigma)
+    return np.where(gray.astype(np.float64) > mean - c, 255, 0).astype(
+        np.uint8)
+
+
+def enhance_for_ocr(gray: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """The M2 chain (final_run_ocr.py:92-105): CLAHE -> smooth ->
+    2x upscale if small -> unsharp -> adaptive threshold. Returns
+    (sharp, binarized)."""
+    g = clahe(gray, 2.0, (8, 8))
+    g = gaussian_blur(g, 1.0).astype(np.uint8)  # bilateral approximated
+    h, w = g.shape
+    if max(h, w) < 250:
+        g = np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
+    sharp = unsharp(g, 1.0, 1.5, 0.5)
+    binar = adaptive_threshold(sharp, 31, 7.0)
+    return sharp, binar
+
+
+def rotate_nearest(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate about the center, same output size, nearest-neighbor,
+    zeros outside (imutils.rotate semantics)."""
+    if angle_deg % 360 == 0:
+        return img.copy()
+    H, W = img.shape[:2]
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    theta = math.radians(angle_deg)
+    cos, sin = math.cos(theta), math.sin(theta)
+    ys, xs = np.mgrid[0:H, 0:W]
+    # inverse mapping: output (x,y) <- input coords
+    xr = (xs - cx) * cos - (ys - cy) * sin + cx
+    yr = (xs - cx) * sin + (ys - cy) * cos + cy
+    xi = np.round(xr).astype(np.int64)
+    yi = np.round(yr).astype(np.int64)
+    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    out = np.zeros_like(img)
+    out[ys[valid], xs[valid]] = img[yi[valid], xi[valid]]
+    return out
+
+
+def find_label_roi(gray: np.ndarray) -> Tuple[int, int, int, int]:
+    """Label-ROI heuristic (hybrid.py:102-146): edge components scored
+    by 0.4*centrality + 0.3*relative-area + 0.3*min(var/1000, 1) over
+    candidate boxes with 10-90% area and aspect 0.2-5; fallback = 10%
+    margin box. (Reference downscales >800px inputs; synthetic images
+    are small, so the downscale leg is omitted.)"""
+    H, W = gray.shape[:2]
+    edges = edge_map(gray)
+    n, labels, stats, _ = connected_components(edges)
+    best_box, best_score = None, -1.0
+    area_img = W * H
+    for i in range(1, n):
+        x, y, cw, ch = (int(v) for v in stats[i][:4])
+        area = cw * ch
+        if area < 0.1 * area_img or area > 0.9 * area_img:
+            continue
+        ar = cw / ch if ch else 0.0
+        if ar < 0.2 or ar > 5.0:
+            continue
+        ccx, ccy = (x + cw / 2) / W, (y + ch / 2) / H
+        center_score = 1.0 - (abs(ccx - 0.5) + abs(ccy - 0.5))
+        size_score = area / area_img
+        roi = gray[y:y + ch, x:x + cw]
+        content_score = min(1.0, float(np.var(roi)) / 1000.0)
+        score = center_score * 0.4 + size_score * 0.3 + content_score * 0.3
+        if score > best_score:
+            best_score = score
+            best_box = (x, y, x + cw, y + ch)
+    if best_box is None:
+        mw, mh = int(W * 0.1), int(H * 0.1)
+        best_box = (mw, mh, W - mw, H - mh)
+    return best_box
+
+
+def align_vertically(gray: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Rotation search maximizing empty columns of the Otsu-binarized
+    image (hybrid.py:148-170): probe +1 degree to pick the sweep
+    direction, then argmax over 0..±45."""
+    _, binary = otsu_threshold(gray)
+
+    def score(img: np.ndarray) -> int:
+        return img.shape[1] - int(np.count_nonzero(img.sum(axis=0)))
+
+    initial = score(binary)
+    pos = score(rotate_nearest(binary, 1))
+    rng = range(0, 45) if pos > initial else range(0, -45, -1)
+    degrees, scores = [], []
+    for deg in rng:
+        degrees.append(deg)
+        scores.append(score(rotate_nearest(binary, deg)))
+    best = degrees[int(np.argmax(scores))]
+    return rotate_nearest(gray, best), float(best)

@@ -151,22 +151,28 @@ def _label_runs(m: np.ndarray):
         # row is r-1
         if prev_stop > prev_start and row_of[prev_start] != r - 1:
             prev_start = prev_stop = i
+        # two-pointer over the (sorted) previous row's runs: both run
+        # lists are ascending, so the overlap window only moves forward
+        p_lo = prev_start
         for k in range(i, j):
             a, b = runs_a[k], runs_b[k]
+            while p_lo < prev_stop and runs_b[p_lo] < a - 1:
+                p_lo += 1
             label = 0
-            for p in range(prev_start, prev_stop):
-                if runs_a[p] <= b + 1 and runs_b[p] >= a - 1:
-                    root = find(labels_of_run[p])
-                    if label == 0:
-                        label = root
-                    elif root != label:
-                        ra, rb = find(label), root
-                        if ra < rb:
-                            parent[rb] = ra
-                            label = ra
-                        else:
-                            parent[ra] = rb
-                            label = rb
+            p = p_lo
+            while p < prev_stop and runs_a[p] <= b + 1:
+                root = find(labels_of_run[p])
+                if label == 0:
+                    label = root
+                elif root != label:
+                    ra, rb = find(label), root
+                    if ra < rb:
+                        parent[rb] = ra
+                        label = ra
+                    else:
+                        parent[ra] = rb
+                        label = rb
+                p += 1
             if label == 0:
                 label = next_label
                 next_label += 1
@@ -299,10 +305,14 @@ def extract_smart_blobs(mask: np.ndarray, min_area: float = 30.0) -> List[Dict]:
         cx = float(((ra + rb) * run_len[sel]).sum() / 2.0 / area)
         cy = float((rr * run_len[sel]).sum() / area)
         ar = w / h if h > 0 else 0.0
-        # hull points: per-row leftmost and rightmost pixels
-        pts = np.concatenate([np.stack([ra, rr], axis=1),
-                              np.stack([rb, rr], axis=1)])
-        hull_area = convex_hull_area(pts)
+        if area == w * h and w > 1 and h > 1:
+            # exact rectangle: hull is its 4 pixel-center corners
+            hull_area = float((w - 1) * (h - 1))
+        else:
+            # hull points: per-row leftmost and rightmost pixels
+            pts = np.concatenate([np.stack([ra, rr], axis=1),
+                                  np.stack([rb, rr], axis=1)])
+            hull_area = convex_hull_area(pts)
         solidity = float(area) / hull_area if hull_area > 0 else 0.5
         extent = float(area) / float(w * h) if (w * h) > 0 else 0.0
         if (0.02 <= ar <= 50.0) and (solidity >= 0.05) and (extent >= 0.05):

@@ -36,7 +36,9 @@ def join_partitions() -> int:
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    return max(2, min(cpus, 64))
+    # each partition spawns an aggregator actor with ~seconds of
+    # startup; cap well below the CPU count
+    return max(2, min(cpus // 2, 16))
 
 
 def round_df(df: pd.DataFrame, cols: List[str], digits: int = 3) -> pd.DataFrame:

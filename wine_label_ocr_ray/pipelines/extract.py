@@ -56,12 +56,21 @@ def build_extract_pipeline(corpus_dir: str,
             confidence_threshold=cfg.confidence_threshold,
             pad=cfg.box_pad,
             min_blob_area=cfg.min_blob_area,
+            crop_label=cfg.crop_label,
+            skip_alignment=cfg.skip_alignment,
         ),
         batch_format="pyarrow",
         batch_size=cfg.media_batch_size,
         concurrency=concurrency,
         num_cpus=cfg.media_num_cpus,
     )
+    if cfg.debug_out:
+        from ..stages.debug_sink import DebugImageSink
+        spans = spans.map_batches(
+            DebugImageSink,
+            fn_constructor_kwargs=dict(media_path=media_path,
+                                       out_dir=cfg.debug_out),
+            batch_format="pyarrow", concurrency=1)
     # Reassembly shuffle: bucket by doc-id hash, assemble every doc of
     # a bucket in one map_groups call (per-doc map_groups pays ~200us
     # of slicing overhead per document — prohibitive at 1e12 docs).

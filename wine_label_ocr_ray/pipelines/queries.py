@@ -127,16 +127,21 @@ QUERIES = {
     "union_priority_counts": R.union_priority_counts,
     "q3_shipping_priority": R.q3_shipping_priority,
     "q5_region_revenue": R.q5_region_revenue,
+    "top_orders_per_segment": R.top_orders_per_segment,
     # stream-shaped (SURVEY §2.8 re-expressed batch)
     "events_hourly": R.events_hourly,
     "events_sessionize": R.events_sessionize,
     "events_asof_click": R.events_asof_click,
+    "events_sliding": R.events_sliding,
+    "events_window_range": R.events_window_range,
+    "events_ema": R.events_ema,
     # documents: text analysis / fingerprints / dedup
     "doc_stats": D.doc_stats,
     "doc_quality": D.doc_quality,
     "doc_lang_id": D.doc_lang_id,
     "dedup_exact": D.dedup_exact,
     "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+    "doc_sample": D.doc_sample,
     # embeddings: similarity search / centroids / near-dup
     "embedding_norms": D.embedding_norms,
     "embedding_centroids": D.embedding_centroids,
@@ -145,6 +150,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible)
     "minhash_lsh_pairs": D.minhash_lsh_pairs,
     "simhash_fingerprints": D.simhash_fingerprints,
+    "simhash_near_dup": D.simhash_near_dup,
     "knn_lsh_topk": D.knn_lsh_topk,
     "flagship_extract": flagship_extract,
     "record_dedup_exact": record_dedup_exact,
@@ -162,14 +168,18 @@ ORACLE_SQL = {
     "union_priority_counts": R.UNION_PRIORITY_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_region_revenue": R.Q5_SQL,
+    "top_orders_per_segment": R.TOP_PER_SEGMENT_SQL,
     "events_hourly": R.EVENTS_HOURLY_SQL,
     "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
     "events_asof_click": R.EVENTS_ASOF_SQL,
+    "events_sliding": R.EVENTS_SLIDING_SQL,
+    "events_window_range": R.EVENTS_WINDOW_RANGE_SQL,
     "doc_stats": D.DOC_STATS_SQL,
     "doc_quality": D.DOC_QUALITY_SQL,
     "doc_lang_id": D.DOC_LANG_ID_SQL,
     "dedup_exact": D.DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": D.NGRAM_JACCARD_SQL,
+    "doc_sample": D.DOC_SAMPLE_SQL,
     "embedding_norms": D.EMBEDDING_NORMS_SQL,
     "embedding_centroids": D.EMBEDDING_CENTROIDS_SQL,
     "knn_cosine_topk": D.KNN_SQL,

@@ -564,6 +564,75 @@ def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
               .to_pandas())
 
 
+SIMHASH_MAX_HAMMING = 12
+
+
+def simhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures banded into 4x16-bit
+    chunks (a pair within Hamming distance 3 must share a band; wider
+    radii recall less), candidates verified by exact Hamming <= 12.
+    Rows-only (bit sketch)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "band": [], "chunk": [], "sim": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            h = TS.simhash64(text.lower().split())
+            for band in range(4):
+                rows["doc_id"].append(doc_id)
+                rows["band"].append(band)
+                rows["chunk"].append((h >> (16 * band)) & 0xFFFF)
+                rows["sim"].append(np.int64(h - (1 << 63)))
+        return pd.DataFrame(rows)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sims = g["sim"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        # int64 storage is offset by 2^63; recover in python ints (an
+        # int64+2^63 numpy add would overflow-promote to float64)
+        ham = np.array([bin((int(sims[x]) + (1 << 63)) ^
+                            (int(sims[y]) + (1 << 63))).count("1")
+                        for x, y in zip(ia, ib)], dtype=np.int64)
+        keep = ham <= SIMHASH_MAX_HAMMING
+        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+                             "hamming": ham[keep]})
+
+    out = (ds.map_batches(sig_rows, batch_format="pandas")
+             .groupby(["band", "chunk"])
+             .map_groups(pairs, batch_format="pandas")
+             .to_pandas())
+    if out.empty:
+        return out
+    return (out.drop_duplicates(subset=["doc_a", "doc_b"])
+               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def doc_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic content-hash sampling (~12.5%): rows whose
+    md5(doc_id) starts with hex 0 or 1 — a reproducible sample operator
+    whose oracle is exact (unlike seeded random_sample)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest()[0])
+        return df[h.isin(["0", "1"])]
+
+    return ds.map_batches(pick, batch_format="pandas").to_pandas()
+
+
+DOC_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1')
+"""
+
+
 def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Per-document 64-bit SimHash (hex) over word tokens. Rows-only
     (bit-manipulation sketch, not SQL-expressible)."""

@@ -460,3 +460,130 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+def events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding window (60 min length, 30 min step) per event_type:
+    every event is exploded into the exactly-two windows containing it,
+    then a grouped aggregate — the batch re-expression of overlapping
+    windows."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def explode_pd(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = df["ts"].dt.floor("30min")
+        value_c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        a = pd.DataFrame({"event_type": df["event_type"], "window": bucket,
+                          "value_c": value_c})
+        b = pd.DataFrame({"event_type": df["event_type"],
+                          "window": bucket - pd.Timedelta(minutes=30),
+                          "value_c": value_c})
+        return pd.concat([a, b], ignore_index=True)
+
+    out = (ds.map_batches(explode_pd, batch_format="pandas")
+             .groupby(["event_type", "window"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("value_c", alias_name="value_c"))
+             .to_pandas())
+    out["sum_value"] = out["value_c"].astype(np.float64) / 100
+    return out[["event_type", "window", "n", "sum_value"]]
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE
+           AS window,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100 AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+GROUP BY 1, 2
+"""
+
+
+def events_window_range(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing-30-minute value range per user — the batch
+    analog of the reference's 5 s sliding-window range
+    (Char_Count_TurnTable.py:83-94): sorted per-key rolling window in
+    map_groups, oracle via a RANGE window frame."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                               "value"])
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        vc = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        s = pd.Series(vc, index=pd.DatetimeIndex(g["ts"]))
+        roll = s.rolling("30min")
+        rng = (roll.max() - roll.min()).to_numpy()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "value_range": rng / 100.0})
+
+    return (ds.groupby("user_id")
+              .map_groups(rolling, batch_format="pandas").to_pandas())
+
+
+EVENTS_WINDOW_RANGE_SQL = """
+SELECT event_id,
+       (max(CAST(round(value * 100) AS BIGINT)) OVER w
+        - min(CAST(round(value * 100) AS BIGINT)) OVER w)::DOUBLE / 100
+           AS value_range
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+
+EMA_ALPHA = 0.25
+
+
+def events_ema(sf_dir: str) -> pd.DataFrame:
+    """Final EMA (alpha=0.25) of each user's value stream in ts order —
+    the reference's streaming smoother (Char_Count_TurnTable.py:78-79)
+    as a per-key ordered fold. Recursive -> no SQL oracle; pytest
+    checks against a pandas ewm reference."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def ema(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        acc = None
+        for v in g["value"].to_numpy():
+            acc = v if acc is None else EMA_ALPHA * v + (1 - EMA_ALPHA) * acc
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "ema_value": [round(float(acc), 6)],
+                             "n_events": [len(g)]})
+
+    return (ds.groupby("user_id")
+              .map_groups(ema, batch_format="pandas").to_pandas())
+
+
+def top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders per market segment (grouped top-k: broadcast
+    customer->segment lookup, then per-group head after sort)."""
+    import ray
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = dict(zip(cust.c_custkey.astype(int), cust.c_mktsegment))
+    ref = ray.put(seg_map)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df["c_mktsegment"] = df["o_custkey"].map(m)
+        return df[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(3)
+
+    return (orders.map_batches(tag, batch_format="pandas")
+                  .groupby("c_mktsegment")
+                  .map_groups(top3, batch_format="pandas").to_pandas())
+
+
+TOP_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rn <= 3
+"""

@@ -103,48 +103,65 @@ class MediaExtract:
     the batch's media rows."""
 
     def __init__(self, media_path: str, *, confidence_threshold: float = 0.01,
-                 pad: float = 0.08, min_blob_area: float = 30.0):
+                 pad: float = 0.08, min_blob_area: float = 30.0,
+                 crop_label: bool = False, skip_alignment: bool = True):
         self.store = MediaStore(media_path)
         self.detect_engine = SyntheticDetectEngine(confidence_threshold)
         self.ocr_engine = SyntheticOcrEngine()
         self.barcode_engine = SyntheticBarcodeEngine()
-        self.blob_analyzer = BlobAnalyzer(min_blob_area)
+        self.blob_analyzer = BlobAnalyzer(min_blob_area,
+                                          crop_label=crop_label,
+                                          skip_alignment=skip_alignment)
         self.pad = pad
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch.column("kind").to_pylist()
-        media_idx = [i for i, k in enumerate(kinds) if k == "media"]
-        if not media_idx:
+        import pyarrow.compute as pc
+        kind_col = batch.column("kind")
+        media_mask = pc.equal(kind_col, "media")
+        mask_np = media_mask.to_numpy(zero_copy_only=False)
+        if not mask_np.any():
             return batch
-        refs = batch.column("media_ref").to_pylist()
-        payloads = self.store.fetch([refs[i] for i in media_idx])
+        media_idx = np.flatnonzero(mask_np)
+        refs_col = batch.column("media_ref")
+        media_refs = pc.take(refs_col, pa.array(media_idx)).to_pylist()
+        payloads = self.store.fetch(media_refs)
 
-        cols: Dict[str, List] = {name: batch.column(name).to_pylist()
+        # compute replacement values for media rows only, then splice
+        # them in with replace_with_mask — no full-column python
+        # round-trips for the (large) text-span columns
+        vals: Dict[str, List] = {name: []
                                  for name in ("span_text", "maker_name",
                                               "raw_json", "vintage_str",
                                               "vintage_by_yolo", "barcode",
                                               "blob_json")}
-        for i in media_idx:
-            payload = payloads.get(refs[i])
+        for ref in media_refs:
+            payload = payloads.get(ref)
             if payload is None:
                 # poison-pill row: emit an error marker instead of
                 # failing the block (SURVEY.md section 4.2 retries note)
-                cols["raw_json"][i] = json.dumps({"error": "missing_media"})
-                cols["span_text"][i] = ""
-                continue
-            decoded, gray = decode_payload(payload)
-            fields = extract_media_fields(
-                decoded, gray, detect_engine=self.detect_engine,
-                ocr_engine=self.ocr_engine,
-                barcode_engine=self.barcode_engine,
-                blob_analyzer=self.blob_analyzer, pad=self.pad)
-            for name, value in fields.items():
-                cols[name][i] = value
+                fields = {"span_text": "", "maker_name": None,
+                          "raw_json": json.dumps({"error": "missing_media"}),
+                          "vintage_str": None, "vintage_by_yolo": False,
+                          "barcode": None, "blob_json": None}
+            else:
+                decoded, gray = decode_payload(payload)
+                fields = extract_media_fields(
+                    decoded, gray, detect_engine=self.detect_engine,
+                    ocr_engine=self.ocr_engine,
+                    barcode_engine=self.barcode_engine,
+                    blob_analyzer=self.blob_analyzer, pad=self.pad)
+            for name in vals:
+                vals[name].append(fields[name])
 
+        mask_arr = pa.array(mask_np)
         out = batch
-        for name in cols:
+        for name, values in vals.items():
             field_idx = out.schema.get_field_index(name)
-            out = out.set_column(field_idx, name,
-                                 pa.array(cols[name],
-                                          out.schema.field(name).type))
+            col = out.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            typ = out.schema.field(name).type
+            replaced = pc.replace_with_mask(col, mask_arr,
+                                            pa.array(values, typ))
+            out = out.set_column(field_idx, name, replaced)
         return out

@@ -94,20 +94,34 @@ class SyntheticBarcodeEngine(BarcodeEngine):
 
 
 class BlobAnalyzer:
-    """The blob leg (``hybrid.py:277-363`` with the WineTracker.py:50
-    flags: full ROI, use_image_as_mask=True, skip_alignment=True):
-    gray image -> Otsu text mask -> connected-component blobs ->
-    fingerprint."""
+    """The blob leg (``hybrid.py:277-363``): optional ROI crop (M15
+    heuristic) and vertical alignment (M17), then Otsu text mask ->
+    connected-component blobs -> fingerprint. Flagship defaults match
+    the WineTracker.py:50 flags (full ROI, use_image_as_mask=True,
+    skip_alignment=True)."""
 
-    def __init__(self, min_blob_area: float = 30.0):
+    def __init__(self, min_blob_area: float = 30.0, *,
+                 crop_label: bool = False, skip_alignment: bool = True):
         self.min_blob_area = min_blob_area
+        self.crop_label = crop_label
+        self.skip_alignment = skip_alignment
 
     def analyze(self, gray: np.ndarray) -> Dict:
+        from ..functions.enhance import align_vertically, find_label_roi
         H, W = gray.shape[:2]
-        mask, _info = imaging.create_text_mask(gray, use_image_as_mask=True)
+        x1, y1, x2, y2 = (0, 0, W, H)
+        if self.crop_label:
+            x1, y1, x2, y2 = find_label_roi(gray)
+        roi = gray[y1:y2, x1:x2]
+        alignment_angle = 0.0
+        if not self.skip_alignment:
+            roi, alignment_angle = align_vertically(roi)
+        del alignment_angle  # angle is internal; blob schema is fixed
+        rh, rw = roi.shape[:2]
+        mask, _info = imaging.create_text_mask(roi, use_image_as_mask=True)
         blobs = imaging.extract_smart_blobs(mask, self.min_blob_area)
-        fp = blob_fingerprint(blobs, (H, W))
-        return {"roi_shape": [H, W], "blob_count": len(blobs),
+        fp = blob_fingerprint(blobs, (rh, rw))
+        return {"roi_shape": [rh, rw], "blob_count": len(blobs),
                 "blob_fingerprint": fp, "blobs": blobs}
 
 
