@@ -12,6 +12,12 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+# package-internal imports at module top (by-value pickling rule — see
+# state/engines.py note)
+from ..functions.imaging import create_text_mask
+from ..sources.media import MediaStore
+from ..synth import decode_payload
+
 
 def write_pgm(path: str, img: np.ndarray) -> None:
     """Binary PGM (P5) writer — viewable everywhere, zero deps."""
@@ -28,9 +34,6 @@ class DebugImageSink:
 
     def __init__(self, media_path: str, out_dir: str,
                  limit_per_actor: Optional[int] = 64):
-        from ..functions.imaging import create_text_mask
-        from ..sources.media import MediaStore
-        from ..synth import decode_payload
         self._store = MediaStore(media_path)
         self._decode = decode_payload
         self._mask = create_text_mask

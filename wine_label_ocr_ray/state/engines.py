@@ -20,6 +20,12 @@ import numpy as np
 
 from ..functions import imaging
 from ..functions.blobs import blob_fingerprint
+# NOTE: package-internal imports must stay at module top level — the
+# package ships to workers via cloudpickle by-value registration, and a
+# deferred relative import inside a method would attempt a real
+# `import wine_label_ocr_ray...` on the worker (ModuleNotFoundError
+# when the driver's cwd is not the repo).
+from ..functions.enhance import align_vertically, find_label_roi
 from ..synth import decode_payload
 
 
@@ -107,7 +113,6 @@ class BlobAnalyzer:
         self.skip_alignment = skip_alignment
 
     def analyze(self, gray: np.ndarray) -> Dict:
-        from ..functions.enhance import align_vertically, find_label_roi
         H, W = gray.shape[:2]
         x1, y1, x2, y2 = (0, 0, W, H)
         if self.crop_label:
