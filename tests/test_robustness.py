@@ -1,0 +1,83 @@
+"""Skew + failure-resilience tests for the flagship pipeline."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wine_label_ocr_ray.oracle import oracle_records
+from wine_label_ocr_ray.pipelines.extract import build_extract_pipeline
+from wine_label_ocr_ray.schema import DOC_SCHEMA, MEDIA_SCHEMA
+from wine_label_ocr_ray.synth import (_doc_rng, _make_media_payload,
+                                      generate_corpus)
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(tmp_path_factory):
+    """Regular corpus plus one pathological media-heavy document with
+    300 media spans (the reference's 75x-fan-out skew analog,
+    SURVEY.md section 4.1)."""
+    out = str(tmp_path_factory.mktemp("skew") / "corpus")
+    generate_corpus(out, num_docs=100, seed=13, num_shards=2)
+    rng = _doc_rng(99, 0)
+    spans, media = [], []
+    for offset in range(300):
+        ref = f"m-zz-heavy-{offset:04d}"
+        media.append((ref, _make_media_payload(rng, "Opus One", 2019)))
+        spans.append({"kind": "media", "text": "", "media_ref": ref,
+                      "offset": offset})
+    doc = {"doc_id": "doc-zz-heavy", "spans": spans}
+    pq.write_table(pa.Table.from_pylist([doc], schema=DOC_SCHEMA),
+                   os.path.join(out, "documents", "part-heavy.parquet"))
+    media.sort(key=lambda r: r[0])
+    pq.write_table(pa.Table.from_arrays(
+        [pa.array([r[0] for r in media], pa.string()),
+         pa.array([r[1] for r in media], pa.binary())],
+        schema=MEDIA_SCHEMA),
+        os.path.join(out, "media", "part-heavy.parquet"),
+        row_group_size=256)
+    # invalidate the corpus manifest so nothing assumes the seeded spec
+    os.remove(os.path.join(out, "_corpus.json"))
+    return out
+
+
+def test_media_heavy_doc_exact(ray_session, skewed_corpus):
+    recs = {r["doc_id"]: r
+            for r in build_extract_pipeline(skewed_corpus).take_all()}
+    expected = oracle_records(skewed_corpus)
+    assert len(recs) == 101
+    heavy = recs["doc-zz-heavy"]
+    assert len(heavy["spans"]) == 300
+    o = expected["doc-zz-heavy"]
+    got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+           for s in heavy["spans"]]
+    assert got == [tuple(s) for s in o["spans"]]
+    assert heavy["maker_norm"] == o["maker_norm"]
+    assert heavy["vintage"] == o["vintage"]
+
+
+def test_missing_media_is_poison_pill_not_crash(ray_session, tmp_path):
+    """A dangling media_ref must produce an error-marked row, not a
+    failed block (SURVEY.md section 4.2 retry/poison-pill design)."""
+    out = str(tmp_path / "corpus")
+    generate_corpus(out, num_docs=30, seed=21, num_shards=1)
+    # append a doc whose media_ref resolves to nothing
+    doc = {"doc_id": "doc-zz-dangling",
+           "spans": [{"kind": "media", "text": "",
+                      "media_ref": "m-zz-missing-000", "offset": 0},
+                     {"kind": "text", "text": "VINTAGE 2001",
+                      "media_ref": "", "offset": 1}]}
+    pq.write_table(pa.Table.from_pylist([doc], schema=DOC_SCHEMA),
+                   os.path.join(out, "documents", "part-x.parquet"))
+    recs = {r["doc_id"]: r
+            for r in build_extract_pipeline(out).take_all()}
+    assert len(recs) == 31
+    r = recs["doc-zz-dangling"]
+    # the media span survives with empty text; the text span's year
+    # still feeds the record (fallback chain unaffected)
+    assert [s["text"] for s in r["spans"]] == ["", "VINTAGE 2001"]
+    assert r["vintage"] == 2001
+    assert r["blob"]["blob_fingerprint"] == ""  # sentinel (no payload)

@@ -142,6 +142,7 @@ QUERIES = {
     "dedup_exact": D.dedup_exact,
     "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
     "doc_sample": D.doc_sample,
+    "doc_maker_norm": D.doc_maker_norm,
     # embeddings: similarity search / centroids / near-dup
     "embedding_norms": D.embedding_norms,
     "embedding_centroids": D.embedding_centroids,
@@ -180,6 +181,7 @@ ORACLE_SQL = {
     "dedup_exact": D.DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": D.NGRAM_JACCARD_SQL,
     "doc_sample": D.DOC_SAMPLE_SQL,
+    "doc_maker_norm": D.DOC_MAKER_NORM_SQL,
     "embedding_norms": D.EMBEDDING_NORMS_SQL,
     "embedding_centroids": D.EMBEDDING_CENTROIDS_SQL,
     "knn_cosine_topk": D.KNN_SQL,

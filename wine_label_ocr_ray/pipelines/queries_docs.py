@@ -564,6 +564,33 @@ def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
               .to_pandas())
 
 
+def doc_maker_norm(sf_dir: str) -> pd.DataFrame:
+    """The reference's maker charset normalization (M6,
+    final_run_ocr.py:355-359) as a vectorized Arrow kernel chain over
+    the documents table: uppercase -> keep only [A-Z0-9 &'-] ->
+    collapse runs of spaces -> trim."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_upper(t["text"])
+        x = pc.replace_substring_regex(x, pattern="[^A-Z0-9 &'-]",
+                                       replacement="")
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table({"doc_id": t["doc_id"], "maker_norm": x})
+
+    return ds.map_batches(norm, batch_format="pyarrow").to_pandas()
+
+
+DOC_MAKER_NORM_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(upper(text), '[^A-Z0-9 &''-]', '', 'g'),
+         ' +', ' ', 'g'), ' ') AS maker_norm
+FROM documents
+"""
+
+
 SIMHASH_MAX_HAMMING = 12
 
 
