@@ -152,6 +152,7 @@ QUERIES = {
     "minhash_lsh_pairs": D.minhash_lsh_pairs,
     "simhash_fingerprints": D.simhash_fingerprints,
     "simhash_near_dup": D.simhash_near_dup,
+    "doc_rolling_fingerprint": D.doc_rolling_fingerprint,
     "knn_lsh_topk": D.knn_lsh_topk,
     "flagship_extract": flagship_extract,
     "record_dedup_exact": record_dedup_exact,

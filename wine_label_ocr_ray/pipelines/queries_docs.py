@@ -660,6 +660,20 @@ WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1')
 """
 
 
+def doc_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Winnowing-style rolling-hash document fingerprint (min 16-char
+    window hash, order-sensitive) — rows-only (recursive hash)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "fingerprint": df["text"].map(
+                lambda s: format(TS.rolling_fingerprint(s), "016x"))})
+
+    return ds.map_batches(fp, batch_format="pandas").to_pandas()
+
+
 def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Per-document 64-bit SimHash (hex) over word tokens. Rows-only
     (bit-manipulation sketch, not SQL-expressible)."""

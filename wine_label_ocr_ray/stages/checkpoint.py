@@ -28,10 +28,16 @@ from typing import Dict, List, Optional
 from ..config import PipelineConfig
 
 
+# only SEMANTIC knobs enter lineage — changing pool sizes, batch
+# sizes, block counts or debug output must not invalidate partitions
+_SEMANTIC_KEYS = ("confidence_threshold", "box_pad", "min_blob_area",
+                  "maker_threshold", "blob_threshold", "pair_threshold",
+                  "blob_weights", "crop_label", "skip_alignment")
+
+
 def _config_hash(cfg: PipelineConfig) -> str:
-    payload = {k: v for k, v in asdict(cfg).items()
-               if not k.startswith(("media_concurrency", "override",
-                                    "assembly"))}  # physical knobs ≠ lineage
+    d = asdict(cfg)
+    payload = {k: d[k] for k in _SEMANTIC_KEYS}
     return hashlib.sha1(json.dumps(payload, sort_keys=True,
                                    default=str).encode()).hexdigest()[:12]
 
