@@ -87,3 +87,63 @@ def test_simhash_near_dup_consistent(ray_session):
         hb = simhash64(texts[r.doc_b].lower().split())
         assert hamming64(ha, hb) == r.hamming
         assert r.hamming <= 12
+
+
+def test_backfill_integer_vintage_keys(ray_session, tmp_path):
+    """Pandas float64 coercion must not leak into keys ('FOO|2019.0',
+    'BAR|nan' regression)."""
+    p = tmp_path / "db2.jsonl"
+    p.write_text('{"maker_norm": "FOO", "vintage": 2019}\n'
+                 '{"maker_norm": "BAR"}\n')
+    df = read_records(str(p)).to_pandas().sort_values("maker_norm")
+    assert list(df.key) == ["BAR|", "FOO|2019"]
+    from wine_label_ocr_ray.functions.text import hash_id
+    assert list(df.id) == [hash_id("BAR", None), hash_id("FOO", 2019)]
+
+
+def test_media_store_overlapping_shards(tmp_path):
+    """Routing must probe every shard whose range covers a ref, even
+    when a later-starting shard's max is below it (overlap regression)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wine_label_ocr_ray.sources.media import MediaStore
+    d = tmp_path / "media"
+    d.mkdir()
+    pq.write_table(pa.table({"media_ref": ["m-000", "m-500", "m-999"],
+                             "payload": [b"a", b"b", b"c"]}),
+                   str(d / "wide.parquet"))
+    pq.write_table(pa.table({"media_ref": ["m-100", "m-200"],
+                             "payload": [b"d", b"e"]}),
+                   str(d / "narrow.parquet"))
+    store = MediaStore(str(d))
+    got = store.fetch(["m-500", "m-100", "m-999"])
+    assert got == {"m-500": b"b", "m-100": b"d", "m-999": b"c"}
+
+
+def test_window_range_boundary_inclusive(ray_session, tmp_path):
+    """Events exactly 30 minutes apart: the trailing window must
+    INCLUDE the boundary event (RANGE-frame semantics)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2],
+        "user_id": [7, 7, 7],
+        "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:30:00",
+                              "2024-01-01 11:00:00"]),
+        "value": [1.00, 5.00, 2.00],
+    })
+    pq.write_table(pa.Table.from_pandas(df), str(sfdir / "events.parquet"))
+    from wine_label_ocr_ray.pipelines.queries import ORACLE_SQL, QUERIES
+    got = QUERIES["events_window_range"](str(sfdir)).sort_values(
+        "event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sfdir}/events.parquet'")
+    exp = con.execute(ORACLE_SQL["events_window_range"]).df().sort_values(
+        "event_id").reset_index(drop=True)
+    assert got.value_range.tolist() == exp.value_range.tolist() == \
+        [0.0, 4.0, 3.0]

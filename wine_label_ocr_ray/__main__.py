@@ -7,7 +7,8 @@ CLIs, ``hybrid.py:419-448`` / ``scan_and_store.py:186-196``):
         [--min-blob-area F] [--confidence F] [--debug-out DIR]
     python -m wine_label_ocr_ray verify  --corpus DIR
         (runs the pure-Python oracle and compares span sequences)
-    python -m wine_label_ocr_ray bench   [--scaling]
+
+(Benchmarks live in the repo-root ``bench.py``, not here.)
 
 Owns its Ray session (guarded init; the driver/test harness never goes
 through this module).

@@ -294,7 +294,7 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         nkey_name, cust_n, _ = ray.get(lookups)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
         cn = np.array([cust_n.get(int(k), -1) for k in ck], dtype=np.int64)
-        keep = np.array([k in nkey_name for k in cn])
+        keep = np.array([k in nkey_name for k in cn], dtype=bool)
         return pa.table({"o_orderkey": pa.array(
             t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
             "cust_nation": pa.array(cn[keep])})
@@ -309,7 +309,7 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         nkey_name, _, supp_n = ray.get(lookups)
         sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
         sn = np.array([supp_n.get(int(k), -1) for k in sk], dtype=np.int64)
-        keep = np.array([k in nkey_name for k in sn])
+        keep = np.array([k in nkey_name for k in sn], dtype=bool)
         price_c = np.round(
             t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
@@ -511,7 +511,10 @@ def events_window_range(sf_dir: str) -> pd.DataFrame:
         g = g.sort_values("ts")
         vc = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
         s = pd.Series(vc, index=pd.DatetimeIndex(g["ts"]))
-        roll = s.rolling("30min")
+        # closed="both" matches the SQL RANGE frame (the boundary event
+        # exactly 30 minutes back is INCLUDED); pandas' default right-
+        # closed window would drop it
+        roll = s.rolling("30min", closed="both")
         rng = (roll.max() - roll.min()).to_numpy()
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "value_range": rng / 100.0})

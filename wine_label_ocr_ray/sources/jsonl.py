@@ -32,6 +32,13 @@ def _backfill(df: pd.DataFrame) -> pd.DataFrame:
     df["maker_norm"] = df["maker_norm"].fillna("")
     if "vintage" not in df:
         df["vintage"] = None
+    # undo pandas float64 coercion of missing-int columns: NaN -> None,
+    # 2019.0 -> 2019, so keys read 'MAKER|2019' / 'MAKER|' like the
+    # reference, never 'MAKER|2019.0' / 'MAKER|nan'
+    df["vintage"] = pd.Series(
+        [None if v is None or (isinstance(v, float) and pd.isna(v))
+         else (int(v) if isinstance(v, float) and v.is_integer() else v)
+         for v in df["vintage"]], index=df.index, dtype=object)
     if "key" not in df:
         df["key"] = None
     if "id" not in df:

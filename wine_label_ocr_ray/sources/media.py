@@ -54,16 +54,24 @@ class MediaStore:
         self._files = [self._files[i] for i in order]
         self._mins = [self._mins[i] for i in order]
         self._maxs = [self._maxs[i] for i in order]
+        # prefix running max of file maxima: the left scan in _route may
+        # stop only once NO earlier file can still cover the ref
+        self._prefix_max: List[str] = []
+        running = ""
+        for m in self._maxs:
+            running = max(running, m)
+            self._prefix_max.append(running)
 
     def _route(self, refs: List[str]) -> Dict[str, List[str]]:
         by_file: Dict[str, List[str]] = {}
         for r in refs:
             # candidate files: every file whose [min, max] covers r
-            # (ranges may overlap across shards; scan the window)
+            # (ranges may overlap across shards)
             i = bisect.bisect_right(self._mins, r) - 1
             j = i
-            while j >= 0 and self._maxs[j] >= r:
-                by_file.setdefault(self._files[j], []).append(r)
+            while j >= 0 and self._prefix_max[j] >= r:
+                if self._maxs[j] >= r:
+                    by_file.setdefault(self._files[j], []).append(r)
                 j -= 1
         return by_file
 

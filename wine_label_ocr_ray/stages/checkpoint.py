@@ -45,6 +45,7 @@ def _config_hash(cfg: PipelineConfig) -> str:
 def _lineage(doc_file: str, cfg: PipelineConfig) -> Dict:
     st = os.stat(doc_file)
     return {"input_file": doc_file, "input_bytes": st.st_size,
+            "input_mtime_ns": st.st_mtime_ns,
             "config_hash": _config_hash(cfg)}
 
 

@@ -101,11 +101,12 @@ def blob_pairs_in_block(g: pd.DataFrame, *, threshold: float,
                         pair_threshold: float) -> pd.DataFrame:
     """Pairwise blob similarity within one vintage block."""
     rows = g.sort_values("doc_id").to_dict("records")
+    blobs = [json.loads(r["blob_json"]) for r in rows]  # parse once, O(n)
     out = {"doc_a": [], "doc_b": [], "blob_score": [], "similar": []}
     for i in range(len(rows)):
-        bi = json.loads(rows[i]["blob_json"])
+        bi = blobs[i]
         for j in range(i + 1, len(rows)):
-            bj = json.loads(rows[j]["blob_json"])
+            bj = blobs[j]
             similar, details = blob_similarity(
                 bi, bj, threshold=threshold, pair_threshold=pair_threshold,
                 return_details=True)

@@ -70,10 +70,10 @@ def assemble_doc(rows: List[Dict]) -> Dict:
         m = r["maker_name"]
         if m and len(m) >= 2 and (not maker_raw or len(m) > len(maker_raw)):
             maker_raw = m
+    merged_raw = _merge_raw([r["raw_json"] for r in media_rows])
     maker_norm = T.normalize_maker(maker_raw) if maker_raw else ""
     if not maker_norm:
-        maker_norm = T.extract_best_maker_from_raw(
-            _merge_raw([r["raw_json"] for r in media_rows]))
+        maker_norm = T.extract_best_maker_from_raw(merged_raw)
     maker_out = maker_norm or None
 
     vintage_str = next((r["vintage_str"] for r in media_rows
@@ -90,8 +90,7 @@ def assemble_doc(rows: List[Dict]) -> Dict:
     # struct: parquet cannot write null structs with list children
     blob = json.loads(blob_json) if blob_json else EMPTY_BLOB
 
-    confs = [c for arr in _merge_raw([r["raw_json"] for r in media_rows]
-                                     ).values() if isinstance(arr, list)
+    confs = [c for arr in merged_raw.values() if isinstance(arr, list)
              for (_t, c) in arr]
     key = T.canonical_key(maker_norm, vintage_str)
     return {

@@ -247,6 +247,9 @@ def derive_corpus_from_documents(documents_parquet: str, out_dir: str,
         with open(manifest_path) as f:
             if json.load(f) == spec:
                 return out_dir
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, "documents"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "media"), ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "documents"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "media"), exist_ok=True)
     src = pq.read_table(documents_parquet, columns=["doc_id", "text"])
@@ -305,6 +308,9 @@ def generate_corpus(out_dir: str, num_docs: int, seed: int = 42,
                 return out_dir
     if num_shards is None:
         num_shards = max(1, min(64, num_docs // 500))
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, "documents"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "media"), ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "documents"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "media"), exist_ok=True)
     bounds = np.linspace(0, num_docs, num_shards + 1).astype(int)
