@@ -142,3 +142,20 @@ def test_media_decode_stats(ray_session):
     out = QUERIES["media_decode_stats"]("/root/testdata/sf0.001")
     assert out.n_images[0] > 100
     assert 100 < out.avg_mean_val[0] < 155  # uniform noise mean ~127.5
+
+
+def test_blob_salting_equals_unsalted(ray_session):
+    """Hot-key salting (block-pair sub-splitting) must produce exactly
+    the same pair set as the single-task path."""
+    from wine_label_ocr_ray.pipelines.queries import flagship_extract_full
+    from wine_label_ocr_ray.stages.dedup import blob_near_dup_pairs
+    ds = flagship_extract_full("/root/testdata/sf0.001")
+    base = blob_near_dup_pairs(ds, max_block_rows=None).to_pandas()
+    ds2 = flagship_extract_full("/root/testdata/sf0.001")
+    salted = blob_near_dup_pairs(ds2, max_block_rows=8).to_pandas()
+
+    def key(df):
+        return sorted(zip(df.doc_a, df.doc_b, df.blob_score, df.similar))
+
+    assert key(salted) == key(base)
+    assert len(base) > 100

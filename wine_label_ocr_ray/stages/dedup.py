@@ -123,12 +123,26 @@ def blob_pairs_in_block(g: pd.DataFrame, *, threshold: float,
 
 
 def blob_near_dup_pairs(records_ds, *, threshold: float = 0.55,
-                        pair_threshold: float = 0.22):
+                        pair_threshold: float = 0.22,
+                        max_block_rows: Optional[int] = 512):
     """records Dataset with (doc_id, vintage, blob) -> candidate pairs
     scored by D4 within vintage blocks. Records without vintage or
     without blobs are excluded (empty sides always decide False,
-    ``BlobSimilarity.py:123-127``)."""
+    ``BlobSimilarity.py:123-127``).
+
+    Skew handling (hot blocking keys): a vintage block with n rows does
+    O(n^2) pairwise work in ONE map_groups task. Blocks larger than
+    ``max_block_rows`` are salted into S = ceil(n / cap) sub-blocks by
+    doc-id hash, and every row is replicated into each (sub_a, sub_b)
+    block-pair it participates in — the exact same pair set, spread
+    over S*(S+1)/2 tasks. Needs the per-vintage counts first (a tiny
+    grouped count, broadcast to the salting stage).
+    """
+    import math
+
     import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
 
     def prep(t: pa.Table) -> pa.Table:
         blob = t["blob"]
@@ -146,9 +160,70 @@ def blob_near_dup_pairs(records_ds, *, threshold: float = 0.55,
                          "vintage": t2["vintage"],
                          "blob_json": pa.array(payload, pa.string())})
 
+    prepped = records_ds.map_batches(prep, batch_format="pyarrow")
+
+    if max_block_rows is not None:
+        # tiny grouped count -> S per vintage, broadcast
+        sizes = (prepped.groupby("vintage")
+                 .aggregate(Count(alias_name="n")).to_pandas())
+        splits = {int(r.vintage): max(1, math.ceil(r.n / max_block_rows))
+                  for r in sizes.itertuples()}
+        if any(s > 1 for s in splits.values()):
+            splits_ref = ray.put(splits)
+
+            def salt(df: pd.DataFrame) -> pd.DataFrame:
+                import zlib
+                sp = ray.get(splits_ref)
+                out = []
+                for r in df.itertuples(index=False):
+                    s = sp.get(int(r.vintage), 1)
+                    my = zlib.crc32(str(r.doc_id).encode()) % s
+                    for other in range(s):
+                        a, b = min(my, other), max(my, other)
+                        out.append((r.doc_id, r.vintage, r.blob_json,
+                                    a * s + b, my, a == b))
+                return pd.DataFrame(out, columns=["doc_id", "vintage",
+                                                  "blob_json", "sub",
+                                                  "my_sub", "diag"])
+
+            import functools
+            fn = functools.partial(_block_pair_fn, threshold=threshold,
+                                   pair_threshold=pair_threshold)
+            return (prepped.map_batches(salt, batch_format="pandas")
+                    .groupby(["vintage", "sub"])
+                    .map_groups(fn, batch_format="pandas"))
+
     import functools
     fn = functools.partial(blob_pairs_in_block, threshold=threshold,
                            pair_threshold=pair_threshold)
-    return (records_ds.map_batches(prep, batch_format="pyarrow")
-                      .groupby("vintage")
-                      .map_groups(fn, batch_format="pandas"))
+    return (prepped.groupby("vintage")
+                   .map_groups(fn, batch_format="pandas"))
+
+
+def _block_pair_fn(g: pd.DataFrame, *, threshold: float,
+                   pair_threshold: float) -> pd.DataFrame:
+    """Pairwise scoring within a salted (vintage, sub-block-pair)
+    group. A diagonal group (a, a) owns all within-a pairs; an
+    off-diagonal group (a, b) owns only CROSS pairs (one row of each
+    sub-block) — same-sub pairs there belong to the diagonal group."""
+    rows = g.sort_values("doc_id").to_dict("records")
+    blobs = [json.loads(r["blob_json"]) for r in rows]
+    diag = bool(rows[0]["diag"]) if rows else True
+    out = {"doc_a": [], "doc_b": [], "blob_score": [], "similar": []}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if not diag and rows[i]["my_sub"] == rows[j]["my_sub"]:
+                continue
+            similar, details = blob_similarity(
+                blobs[i], blobs[j], threshold=threshold,
+                pair_threshold=pair_threshold, return_details=True)
+            if details["score"] > 0.0:
+                out["doc_a"].append(rows[i]["doc_id"])
+                out["doc_b"].append(rows[j]["doc_id"])
+                out["blob_score"].append(round(details["score"], 6))
+                out["similar"].append(bool(similar))
+    return pd.DataFrame(out) if out["doc_a"] else pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="object"),
+         "doc_b": pd.Series([], dtype="object"),
+         "blob_score": pd.Series([], dtype="float64"),
+         "similar": pd.Series([], dtype="bool")})
