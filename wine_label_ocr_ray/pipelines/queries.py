@@ -127,6 +127,8 @@ QUERIES = {
     "union_priority_counts": R.union_priority_counts,
     "q3_shipping_priority": R.q3_shipping_priority,
     "q5_region_revenue": R.q5_region_revenue,
+    "q4_semi_join": R.q4_semi_join,
+    "anti_join_customers": R.anti_join_customers,
     "top_orders_per_segment": R.top_orders_per_segment,
     # stream-shaped (SURVEY §2.8 re-expressed batch)
     "events_hourly": R.events_hourly,
@@ -170,6 +172,8 @@ ORACLE_SQL = {
     "union_priority_counts": R.UNION_PRIORITY_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_region_revenue": R.Q5_SQL,
+    "q4_semi_join": R.Q4_SEMI_SQL,
+    "anti_join_customers": R.ANTI_JOIN_SQL,
     "top_orders_per_segment": R.TOP_PER_SEGMENT_SQL,
     "events_hourly": R.EVENTS_HOURLY_SQL,
     "events_sessionize": R.EVENTS_SESSIONIZE_SQL,

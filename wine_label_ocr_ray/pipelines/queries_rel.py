@@ -557,6 +557,72 @@ def events_ema(sf_dir: str) -> pd.DataFrame:
               .map_groups(ema, batch_format="pandas").to_pandas())
 
 
+def q4_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Semi-join (TPC-H Q4 shape): orders per priority having at least
+    one high-quantity lineitem. Pattern: distinct key set from the big
+    side via Ray `unique` -> broadcast membership filter (a Bloom
+    filter at 100TB scale — same shape)."""
+    import ray
+    hot_keys = (read_table(sf_dir, "lineitem",
+                           columns=["l_orderkey", "l_quantity"],
+                           filter=(pc.field("l_quantity") > 45.0))
+                .unique("l_orderkey"))
+    ref = ray.put(np.array(sorted(hot_keys), dtype=np.int64))
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = np.isin(t["o_orderkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(mask))
+
+    return (orders.map_batches(semi, batch_format="pyarrow")
+                  .groupby("o_orderpriority")
+                  .aggregate(Count(alias_name="n")).to_pandas())
+
+
+Q4_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def anti_join_customers(sf_dir: str) -> pd.DataFrame:
+    """Anti-join: customers with no HIGH-VALUE order (totalprice >
+    300000), counted per segment (broadcast key-set negation filter)."""
+    import ray
+    have = (read_table(sf_dir, "orders",
+                       columns=["o_custkey", "o_totalprice"],
+                       filter=(pc.field("o_totalprice") > 300000.0))
+            .unique("o_custkey"))
+    ref = ray.put(np.array(sorted(have), dtype=np.int64))
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = ~np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(mask))
+
+    out = (cust.map_batches(anti, batch_format="pyarrow")
+               .groupby("c_mktsegment")
+               .aggregate(Count(alias_name="n")).to_pandas())
+    if out.empty:  # Ray drops the schema of an all-empty aggregate
+        out = pd.DataFrame({"c_mktsegment": pd.Series(dtype=object),
+                            "n": pd.Series(dtype="int64")})
+    return out
+
+
+ANTI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
 def top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
     """Top-3 orders per market segment (grouped top-k: broadcast
     customer->segment lookup, then per-group head after sort)."""
