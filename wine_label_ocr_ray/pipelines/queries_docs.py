@@ -66,7 +66,6 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
     """Quality features + filter (stopword ratio, token count band) —
     the boilerplate-quality gate of a training-data pipeline."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    stop_list = sorted(TS.STOPWORDS)
 
     def qual(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.lower().str.split()
@@ -80,7 +79,6 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
         })
         return out[(out.n_tokens >= 20) & (out.stop_ratio <= 0.3)]
 
-    _ = stop_list
     return ds.map_batches(qual, batch_format="pandas").to_pandas()
 
 
