@@ -43,7 +43,10 @@ def test_token_set_ratio_known_values():
     # identical -> 100, subset -> 100 (token-set algebra)
     assert F.token_set_ratio("a b c", "a b c") == 100.0
     assert F.token_set_ratio("robert mondavi winery", "robert mondavi") == 100.0
-    assert F.token_set_ratio("", "") == 100.0
+    # rapidfuzz guard: either side empty -> 0 (FuzzyWuzzy-compat)
+    assert F.token_set_ratio("", "") == 0.0
+    assert F.token_set_ratio("", "hello world") == 0.0
+    assert F.token_set_ratio("hello world", "") == 0.0
     assert F.token_set_ratio("abc", "xyz") < 30
     # published fuzzywuzzy example: token_set_ratio is symmetric
     a = "fuzzy was a bear"

@@ -19,7 +19,9 @@ def test_token_set_ratio_bounds_and_symmetry(a, b):
     r = F.token_set_ratio(a, b)
     assert 0.0 <= r <= 100.0
     assert r == F.token_set_ratio(b, a)
-    assert F.token_set_ratio(a, a) == 100.0
+    # rapidfuzz guard: self-similarity is 100 except the empty string,
+    # which scores 0 against everything (FuzzyWuzzy-compat)
+    assert F.token_set_ratio(a, a) == (100.0 if a.split() else 0.0)
 
 
 @settings(max_examples=200, deadline=None)

@@ -104,8 +104,10 @@ def token_set_ratio(a: str, b: str) -> float:
     sect vs sect+diff_ab vs sect+diff_ba, take the max InDel ratio."""
     tokens_a = set(a.split())
     tokens_b = set(b.split())
-    if not tokens_a and not tokens_b:
-        return 100.0
+    if not tokens_a or not tokens_b:
+        # rapidfuzz/fuzzywuzzy guard: empty side scores 0 (prevents empty
+        # maker_norm records from fuzzy-matching everything in dedup).
+        return 0.0
     sect = tokens_a & tokens_b
     diff_ab = tokens_a - tokens_b
     diff_ba = tokens_b - tokens_a

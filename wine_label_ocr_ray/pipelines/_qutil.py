@@ -41,6 +41,36 @@ def join_partitions() -> int:
     return max(2, min(cpus // 2, 16))
 
 
+def sorted_lookup(ds: "ray.data.Dataset", key_col: str, val_col: str):
+    """Build a broadcastable vectorized int-key lookup from a (small- to
+    mid-sized) dimension Dataset: two parallel numpy arrays sorted by
+    key. Probe with :func:`probe_sorted` (np.searchsorted — no per-row
+    Python). ~16 bytes/row, so a 100TB-scale customer dim ships as a
+    compact array, not a Python dict."""
+    t = pa.concat_tables(
+        ray.get(b) for b in ds.to_arrow_refs())  # columns only, no pandas
+    keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = t[val_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], vals[order]
+
+
+def probe_sorted(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
+                 default):
+    """Vectorized dict.get over the sorted-array lookup: returns
+    (values, found_mask); misses get ``default``."""
+    probe = probe.astype(np.int64, copy=False)
+    idx = np.searchsorted(keys, probe)
+    idx_c = np.clip(idx, 0, len(keys) - 1) if len(keys) else idx
+    found = np.zeros(len(probe), dtype=bool) if not len(keys) else \
+        keys[idx_c] == probe
+    out = np.full(len(probe), default,
+                  dtype=vals.dtype if len(keys) else None)
+    if len(keys):
+        out[found] = vals[idx_c[found]]
+    return out, found
+
+
 def round_df(df: pd.DataFrame, cols: List[str], digits: int = 3) -> pd.DataFrame:
     """Round float columns so both the Ray result and the DuckDB oracle
     hash identically (round(3+) on doubles cannot hit decimal-half

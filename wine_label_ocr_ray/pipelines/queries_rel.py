@@ -82,7 +82,7 @@ WITH c AS (
          CAST(round(l_tax * 100) AS BIGINT) AS tax_c
   FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03')
 SELECT l_returnflag, l_linestatus,
-       sum(qty) AS sum_qty,
+       sum(qty)::BIGINT AS sum_qty,
        sum(price_c)::DOUBLE / 100 AS sum_base_price,
        sum(price_c * (100 - disc_c))::DOUBLE / 10000 AS sum_disc_price,
        sum(price_c * (100 - disc_c) * (100 + tax_c))::DOUBLE / 1000000
@@ -264,23 +264,28 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     broadcast as lookup arrays; the two big tables join hash-
     partitioned; revenue grouped by nation name."""
     import ray
+
+    from ._qutil import probe_sorted, sorted_lookup
     nation = read_table(sf_dir, "nation",
                         columns=["n_nationkey", "n_name", "n_regionkey"]
                         ).to_pandas()
     region = read_table(sf_dir, "region").to_pandas()
     asia_keys = set(region[region.r_name == "ASIA"].r_regionkey)
     asia_nations = nation[nation.n_regionkey.isin(asia_keys)]
-    nkey_to_name = dict(zip(asia_nations.n_nationkey.astype(int),
-                            asia_nations.n_name))
-    cust = read_table(sf_dir, "customer",
-                      columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nation = dict(zip(cust.c_custkey.astype(int),
-                           cust.c_nationkey.astype(int)))
-    supp = read_table(sf_dir, "supplier",
-                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_nation = dict(zip(supp.s_suppkey.astype(int),
-                           supp.s_nationkey.astype(int)))
-    lookups = ray.put((nkey_to_name, cust_nation, supp_nation))
+    # genuinely tiny (<= 25 rows): sorted arrays for vectorized probes
+    nk = asia_nations.n_nationkey.to_numpy(dtype=np.int64)
+    no = np.argsort(nk, kind="stable")
+    nation_keys = nk[no]
+    nation_names = asia_nations.n_name.to_numpy()[no]
+    # customer/supplier fact-dims: compact sorted int arrays (no Python
+    # dict, no pandas materialization), probed with np.searchsorted
+    cust_lk = sorted_lookup(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey")
+    supp_lk = sorted_lookup(
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey")
+    lookups = ray.put((nation_keys, nation_names, cust_lk, supp_lk))
 
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -290,10 +295,10 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
                  pa.scalar(_dt.datetime(1997, 1, 1)))))
 
     def order_nation(t: pa.Table) -> pa.Table:
-        nkey_name, cust_n, _ = ray.get(lookups)
+        nation_keys, _, (ck_keys, ck_vals), _ = ray.get(lookups)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        cn = np.array([cust_n.get(int(k), -1) for k in ck], dtype=np.int64)
-        keep = np.array([k in nkey_name for k in cn], dtype=bool)
+        cn, found = probe_sorted(ck_keys, ck_vals, ck, -1)
+        keep = found & np.isin(cn, nation_keys)
         return pa.table({"o_orderkey": pa.array(
             t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
             "cust_nation": pa.array(cn[keep])})
@@ -305,10 +310,10 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
                              "l_discount"])
 
     def li_nation(t: pa.Table) -> pa.Table:
-        nkey_name, _, supp_n = ray.get(lookups)
+        nation_keys, _, _, (sk_keys, sk_vals) = ray.get(lookups)
         sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        sn = np.array([supp_n.get(int(k), -1) for k in sk], dtype=np.int64)
-        keep = np.array([k in nkey_name for k in sn], dtype=bool)
+        sn, found = probe_sorted(sk_keys, sk_vals, sk, -1)
+        keep = found & np.isin(sn, nation_keys)
         price_c = np.round(
             t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
@@ -328,11 +333,12 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def same_nation(t: pa.Table) -> pa.Table:
-        nkey_name, _, _ = ray.get(lookups)
+        nation_keys, nation_names, _, _ = ray.get(lookups)
         m = pc.equal(t["supp_nation"], t["cust_nation"])
         t = t.filter(m)
-        names = [nkey_name[int(k)] for k in t["supp_nation"].to_pylist()]
-        return pa.table({"n_name": pa.array(names, pa.string()),
+        sn = t["supp_nation"].to_numpy(zero_copy_only=False)
+        names, _ = probe_sorted(nation_keys, nation_names, sn, "")
+        return pa.table({"n_name": pa.array(names.astype(object), pa.string()),
                          "revenue_e4": t["revenue_e4"]})
 
     out = (joined.map_batches(same_nation, batch_format="pyarrow")
@@ -507,7 +513,7 @@ def events_window_range(sf_dir: str) -> pd.DataFrame:
                                                "value"])
 
     def rolling(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        g = g.sort_values("ts", kind="stable")
         vc = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
         s = pd.Series(vc, index=pd.DatetimeIndex(g["ts"]))
         # closed="both" matches the SQL RANGE frame (the boundary event
@@ -515,6 +521,16 @@ def events_window_range(sf_dir: str) -> pd.DataFrame:
         # closed window would drop it
         roll = s.rolling("30min", closed="both")
         rng = (roll.max() - roll.min()).to_numpy()
+        # peer-aware: a RANGE frame includes ALL rows sharing the current
+        # timestamp (even later-positioned peers); pandas rolling is
+        # positional, so take the value at the LAST row of each equal-ts
+        # run (its window covers every peer) and broadcast it to the run
+        ts = g["ts"].to_numpy()
+        if len(ts) > 1:
+            new_run = ts[1:] != ts[:-1]
+            last_idx = np.flatnonzero(np.append(new_run, True))
+            run_id = np.cumsum(np.insert(new_run, 0, 0))
+            rng = rng[last_idx][run_id]
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "value_range": rng / 100.0})
 
@@ -623,19 +639,27 @@ GROUP BY c_mktsegment
 
 
 def top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
-    """Top-3 orders per market segment (grouped top-k: broadcast
-    customer->segment lookup, then per-group head after sort)."""
+    """Top-3 orders per market segment (grouped top-k: broadcast a
+    dictionary-encoded customer->segment lookup — sorted int keys +
+    uint8 segment codes, probed with np.searchsorted — then per-group
+    head after sort)."""
     import ray
-    cust = read_table(sf_dir, "customer",
-                      columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map = dict(zip(cust.c_custkey.astype(int), cust.c_mktsegment))
-    ref = ray.put(seg_map)
+
+    from ._qutil import probe_sorted, sorted_lookup
+    keys, segs = sorted_lookup(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        "c_custkey", "c_mktsegment")
+    # dictionary-encode: broadcast int codes, not object strings
+    seg_names, seg_codes = np.unique(segs.astype(str), return_inverse=True)
+    ref = ray.put((keys, seg_codes.astype(np.int8), seg_names))
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        df["c_mktsegment"] = df["o_custkey"].map(m)
+        k, codes, names = ray.get(ref)
+        c, found = probe_sorted(k, codes, df["o_custkey"].to_numpy(), -1)
+        df = df[found].copy()
+        df["c_mktsegment"] = names[c[found].astype(np.int64)]
         return df[["c_mktsegment", "o_orderkey", "o_totalprice"]]
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
