@@ -112,6 +112,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Interleaved multi-trial scaling measurement: the single-run
+    efficiency swings ~+-20% with page-cache/writeback state (round-1
+    samples ranged 0.57-1.06), so each CPU level runs
+    $WLOR_SCALING_TRIALS times (default 3), ALTERNATING levels so
+    drifting machine state hits both equally, and the reported
+    efficiency is computed from the per-level MEDIANS; all samples are
+    recorded in BASELINE.md."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -119,19 +126,37 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    trials = int(os.environ.get("WLOR_SCALING_TRIALS", "3"))
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    runs = {lo: [], hi: []}
+    for _ in range(trials):
+        for ncpu in (lo, hi):
+            runs[ncpu].append(run(ncpu))
+
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    secs_lo = [r["value"] for r in runs[lo]]
+    secs_hi = [r["value"] for r in runs[hi]]
+    t_lo, t_hi = median(secs_lo), median(secs_hi)
     eff = (t_lo / t_hi) / (hi / lo)
+    bench_docs = runs[lo][0]["bench_docs"]
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "trials": trials,
         "sec_8": t_lo, "sec_32": t_hi,
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
-        "bench_docs": r_lo["bench_docs"],
-        "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+        "sec_8_samples": secs_lo, "sec_32_samples": secs_hi,
+        "eff_samples": [round((a / b) / (hi / lo), 3)
+                        for a, b in zip(secs_lo, secs_hi)],
+        "docs_per_sec_8": round(bench_docs / t_lo, 1),
+        "docs_per_sec_32": round(bench_docs / t_hi, 1),
+        "bench_docs": bench_docs,
+        "queries_8": runs[lo][-1]["queries"],
+        "queries_32": runs[hi][-1]["queries"],
     }
     _record_baseline(result)
     return result
@@ -141,11 +166,11 @@ def _record_baseline(result: dict) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     marker = "## Measured results (bench.py --scaling)"
     block = (f"{marker}\n\n"
-             f"| run | config | docs/sec | seconds ({result['bench_docs']} docs) |\n"
+             f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} interleaved trials) |\n"
              f"|---|---|---|---|\n"
-             f"| N | num_cpus=8 | {result['docs_per_sec_8']} | {result['sec_8']} |\n"
-             f"| 4N | num_cpus=32 | {result['docs_per_sec_32']} | {result['sec_32']} |\n"
-             f"| efficiency | (T_4N/T_N)/4 | **{result['value']}** | target >= 0.8 |\n")
+             f"| N | num_cpus=8 | {result['docs_per_sec_8']} | median {result['sec_8']} of {result['sec_8_samples']} |\n"
+             f"| 4N | num_cpus=32 | {result['docs_per_sec_32']} | median {result['sec_32']} of {result['sec_32_samples']} |\n"
+             f"| efficiency | (T_4N/T_N)/4 | **{result['value']}** (median-of-medians; per-trial {result['eff_samples']}) | target >= 0.8 |\n")
     try:
         with open(path) as f:
             content = f.read()

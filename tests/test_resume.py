@@ -79,3 +79,26 @@ def test_lineage_mismatch_recomputes(ray_session, corpus, tmp_path):
     summary = run_checkpointed(corpus, out,
                                PipelineConfig(confidence_threshold=0.5))
     assert summary["executed"] == 4 and summary["skipped"] == 0
+
+
+def test_grouped_commit_equals_sequential(ray_session, corpus, tmp_path):
+    """group_size=2 runs 2 shards per pipeline execution (amortized
+    actor-pool ramp) with identical final rows; resume after a group
+    crash re-executes only the missing group."""
+    g_dir = str(tmp_path / "group_out")
+    s_dir = str(tmp_path / "seq_out")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(corpus, g_dir, fail_after=1, group_size=2)
+    assert len(committed_partitions(g_dir)) == 1  # one 2-shard group
+
+    summary = run_checkpointed(corpus, g_dir, group_size=2)
+    assert summary["executed"] == 1 and summary["skipped"] == 1
+
+    seq = run_checkpointed(corpus, s_dir)
+    assert seq["executed"] == 4
+
+    t_group = _read_sorted(g_dir)
+    t_seq = _read_sorted(s_dir)
+    assert t_group.num_rows == t_seq.num_rows == 400
+    assert t_group.equals(t_seq)

@@ -36,20 +36,39 @@ def dedup_decision(sf_dir: str) -> pd.DataFrame:
     of the flagship records (by doc_id) forms the committed DB
     (broadcast), the second half is probed — exact key, then
     vintage-blocked token_set_ratio fuzzy argmax (threshold 85)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ..stages.dedup import decide_against_db
 
-    recs = flagship_extract(sf_dir).to_pandas()
-    recs = recs[recs.valid].sort_values("doc_id").reset_index(drop=True)
-    recs["vintage_str"] = recs["key"].str.rsplit("|", n=1).str[1]
-    recs.loc[recs.vintage_str == "", "vintage_str"] = None
-    half = len(recs) // 2
-    db = [{"maker_norm": r.maker_norm, "vintage": r.vintage_str,
-           "key": r.key, "id": r.record_id}
-          for r in recs.iloc[:half].itertuples()]
-    probes = recs.iloc[half:][["doc_id", "maker_norm", "vintage_str"]]
-    import ray.data as rd
-    ds = rd.from_pandas(probes)
-    out = decide_against_db(ds, db).to_pandas()
+    def project(t):
+        t = t.filter(pc.equal(t["valid"], True))
+        # key = "<maker_norm>|<vintage>" and maker_norm can't contain a
+        # pipe (charset A-Z0-9 &'-), so element 1 is the vintage
+        vs = pc.list_element(pc.split_pattern(t["key"], "|"), 1)
+        vs = pc.if_else(pc.equal(vs, ""), pa.scalar(None, pa.string()), vs)
+        return pa.table({"doc_id": t["doc_id"],
+                         "maker_norm": t["maker_norm"],
+                         "key": t["key"], "record_id": t["record_id"],
+                         "vintage_str": vs})
+
+    # materialize the small projected table once (5 scalar columns, no
+    # blobs) so count + split don't re-execute the extraction pipeline
+    recs = (flagship_extract(sf_dir)
+            .map_batches(project, batch_format="pyarrow")
+            .sort("doc_id").materialize())
+    half = recs.count() // 2
+    db_ds, probe_ds = recs.split_at_indices([half])
+    # only the DB half's 4 small columns reach the driver (the broadcast
+    # side); probes stay a streamed Dataset end to end
+    db = [{"maker_norm": r["maker_norm"], "vintage": r["vintage_str"],
+           "key": r["key"], "id": r["record_id"]}
+          for r in db_ds.select_columns(
+              ["maker_norm", "vintage_str", "key", "record_id"]).take_all()]
+    probe_ds = probe_ds.select_columns(["doc_id", "maker_norm",
+                                        "vintage_str"])
+    out = decide_against_db(probe_ds, db).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
     return out[["doc_id", "decision", "score", "match_id", "reason"]]
 
 

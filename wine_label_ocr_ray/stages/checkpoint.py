@@ -2,17 +2,28 @@
 
 The reference's only durability is append-only JSONL with no
 idempotence (``hybrid.py:270-271``, ``scan_and_store.py:108-119`` —
-re-running re-appends). Here a run is split into PARTITIONS (one per
-input document shard file); each partition is written atomically
-(temp dir + rename) together with a manifest carrying lineage (input
-file, size, config hash) and extraction metrics (row/valid/vintage/
-maker/barcode counts, mean OCR confidence). A restarted run lists the
-committed manifests, verifies lineage, and skips those partitions —
-so a crash mid-run costs only the in-flight partition.
+re-running re-appends). Here a run is split into PARTITIONS (one or
+more input document shard files each, see ``group_size``); each
+partition is written atomically (temp dir + rename) together with a
+manifest carrying lineage (input files, sizes, config hash) and
+extraction metrics (row/valid/vintage/maker/barcode counts, mean OCR
+confidence). A restarted run lists the committed manifests, verifies
+lineage, and skips those partitions — so a crash mid-run costs only
+the in-flight partition.
+
+``group_size > 1`` commits GROUPS of shards per pipeline execution:
+one streaming Dataset execution covers k shard files, amortizing the
+per-execution fixed costs (actor-pool ramp, sort barrier, write
+finalize — measured 10-14 s scale-independent, BASELINE.md) over k
+partitions. Concurrent in-driver Dataset executions were measured to
+starve each other's actor pools in this Ray version (two 8-CPU
+flagship plans deadlock), so grouping — bigger executions, not more
+of them — is the amortization mechanism.
 
 Layout:
-    out_dir/part=<shard>/*.parquet      (atomic: renamed from _tmp.<shard>)
-    out_dir/_manifests/<shard>.json
+    out_dir/part=<name>/*.parquet       (atomic: renamed from _tmp.<name>)
+    out_dir/_manifests/<name>.json      (atomic: os.replace from .tmp)
+where <name> is the shard stem, or <first>__<last> for a group.
 """
 
 from __future__ import annotations
@@ -42,11 +53,19 @@ def _config_hash(cfg: PipelineConfig) -> str:
                                    default=str).encode()).hexdigest()[:12]
 
 
-def _lineage(doc_file: str, cfg: PipelineConfig) -> Dict:
-    st = os.stat(doc_file)
-    return {"input_file": doc_file, "input_bytes": st.st_size,
-            "input_mtime_ns": st.st_mtime_ns,
-            "config_hash": _config_hash(cfg)}
+def _lineage(doc_files: List[str], cfg: PipelineConfig) -> Dict:
+    inputs = []
+    for doc_file in doc_files:
+        st = os.stat(doc_file)
+        inputs.append({"input_file": doc_file, "input_bytes": st.st_size,
+                       "input_mtime_ns": st.st_mtime_ns})
+    out = {"config_hash": _config_hash(cfg)}
+    if len(inputs) == 1:
+        # single-shard layout kept flat (round-1 manifest compatibility)
+        out.update(inputs[0])
+    else:
+        out["inputs"] = inputs
+    return out
 
 
 def discover_partitions(corpus_dir: str) -> List[str]:
@@ -55,80 +74,139 @@ def discover_partitions(corpus_dir: str) -> List[str]:
 
 
 def committed_partitions(out_dir: str) -> Dict[str, Dict]:
-    """shard-name -> manifest for every committed partition."""
+    """shard-name -> manifest for every committed partition. A
+    truncated/unparseable manifest (crash mid-write on a filesystem
+    without atomic rename) is treated as UNCOMMITTED — the partition
+    just re-executes instead of the whole resume breaking."""
     out = {}
     for path in glob.glob(os.path.join(out_dir, "_manifests", "*.json")):
-        with open(path) as f:
-            out[os.path.splitext(os.path.basename(path))[0]] = json.load(f)
+        try:
+            with open(path) as f:
+                out[os.path.splitext(os.path.basename(path))[0]] = \
+                    json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
     return out
+
+
+def _group_name(doc_files: List[str]) -> str:
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in doc_files]
+    return stems[0] if len(stems) == 1 else f"{stems[0]}__{stems[-1]}"
+
+
+def _execute_partition(corpus_dir: str, out_dir: str,
+                       doc_files: List[str], cfg: PipelineConfig,
+                       lineage: Dict) -> Dict:
+    """Execute + atomically commit ONE partition (one shard or a group
+    of shards in a single pipeline execution); returns its metrics.
+    Commit protocol: write to _tmp.<name>, rename to part=<name>, then
+    write the manifest to a temp file and os.replace it into
+    _manifests/ (both steps atomic; a crash between them re-executes
+    the partition, which is idempotent)."""
+    from ..pipelines.extract import build_extract_pipeline
+
+    name = _group_name(doc_files)
+    tmp_dir = os.path.join(out_dir, f"_tmp.{name}")
+    final_dir = os.path.join(out_dir, f"part={name}")
+    ds = build_extract_pipeline(corpus_dir, cfg, doc_files=doc_files)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    ds.write_parquet(tmp_dir)
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    t = pads.dataset(tmp_dir).to_table(
+        columns=["valid", "vintage", "maker_name", "barcode",
+                 "mean_ocr_conf", "blob"])
+    metrics = {
+        "rows": t.num_rows,
+        "valid": int(pc.sum(pc.cast(t["valid"], "int64")).as_py() or 0),
+        "vintage_found": int(t.num_rows - t["vintage"].null_count),
+        "maker_found": int(t.num_rows - t["maker_name"].null_count),
+        "barcode_found": int(t.num_rows - t["barcode"].null_count),
+        "blob_nonempty": int(pc.sum(pc.cast(pc.greater(
+            pc.struct_field(t["blob"], "blob_count"), 0),
+            "int64")).as_py() or 0),
+        "mean_ocr_conf": float(pc.mean(t["mean_ocr_conf"]).as_py()
+                               or 0.0),
+    }
+    os.rename(tmp_dir, final_dir)  # atomic data commit
+    manifest_path = os.path.join(out_dir, "_manifests", f"{name}.json")
+    manifest_tmp = manifest_path + ".tmp"
+    with open(manifest_tmp, "w") as f:
+        json.dump({"lineage": lineage, "metrics": metrics,
+                   "partition": f"part={name}"}, f)
+    os.replace(manifest_tmp, manifest_path)  # atomic manifest commit
+    return metrics
 
 
 def run_checkpointed(corpus_dir: str, out_dir: str,
                      cfg: Optional[PipelineConfig] = None, *,
-                     fail_after: Optional[int] = None) -> Dict:
+                     fail_after: Optional[int] = None,
+                     group_size: int = 1) -> Dict:
     """Run the flagship pipeline partition-by-partition with atomic
     commits; skips partitions already committed with matching lineage.
-    ``fail_after=k`` injects a crash after k commits (for resume tests).
+    ``fail_after=k`` injects a crash after k commits (for resume
+    tests). ``group_size=k`` runs k uncommitted shards per pipeline
+    execution/commit (amortizes fixed ramp; a crash re-executes at
+    most one k-shard group).
 
-    Returns {"partitions": total, "executed": n, "skipped": n,
-             "metrics": aggregated}.
+    Returns {"partitions": committed units, "executed": n,
+             "skipped": n, "metrics": aggregated}.
     """
     from .. import synth  # noqa: F401  (corpus format docs)
-    from ..pipelines.extract import build_extract_pipeline
 
     cfg = cfg or PipelineConfig()
+    group_size = max(1, group_size)
     shards = discover_partitions(corpus_dir)
     os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    # clear stale in-flight temp dirs from a previous crashed run
+    for stale in glob.glob(os.path.join(out_dir, "_tmp.*")):
+        shutil.rmtree(stale, ignore_errors=True)
     committed = committed_partitions(out_dir)
 
     executed = skipped = 0
     totals = {"rows": 0, "valid": 0, "vintage_found": 0, "maker_found": 0,
               "barcode_found": 0, "blob_nonempty": 0}
-    for i, shard_path in enumerate(shards):
-        name = os.path.splitext(os.path.basename(shard_path))[0]
-        lineage = _lineage(shard_path, cfg)
-        prior = committed.get(name)
-        if prior and prior.get("lineage") == lineage:
+    todo: List[str] = []
+    units = 0
+    # a shard is committed if it appears in any committed unit (its own
+    # stem, or a group that contains it) with matching lineage
+    for shard_path in shards:
+        done = False
+        for name, prior in committed.items():
+            lin = prior.get("lineage", {})
+            files = [i["input_file"] for i in lin.get("inputs", [])] \
+                if "inputs" in lin else [lin.get("input_file")]
+            if shard_path in files:
+                if lin == _lineage(files, cfg):
+                    done = True
+                break
+        if done:
+            continue
+        todo.append(shard_path)
+    for name, prior in committed.items():
+        lin = prior.get("lineage", {})
+        files = [i["input_file"] for i in lin.get("inputs", [])] \
+            if "inputs" in lin else [lin.get("input_file")]
+        if all(f in shards for f in files) and lin == _lineage(files, cfg) \
+                and not any(f in todo for f in files):
             skipped += 1
+            units += 1
             for k in totals:
                 totals[k] += prior["metrics"][k]
-            continue
 
-        ds = build_extract_pipeline(corpus_dir, cfg, doc_files=[shard_path])
-        tmp_dir = os.path.join(out_dir, f"_tmp.{name}")
-        final_dir = os.path.join(out_dir, f"part={name}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(final_dir, ignore_errors=True)
-        ds.write_parquet(tmp_dir)
-
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-        t = pads.dataset(tmp_dir).to_table(
-            columns=["valid", "vintage", "maker_name", "barcode",
-                     "mean_ocr_conf", "blob"])
-        metrics = {
-            "rows": t.num_rows,
-            "valid": int(pc.sum(pc.cast(t["valid"], "int64")).as_py() or 0),
-            "vintage_found": int(t.num_rows -
-                                 t["vintage"].null_count),
-            "maker_found": int(t.num_rows - t["maker_name"].null_count),
-            "barcode_found": int(t.num_rows - t["barcode"].null_count),
-            "blob_nonempty": int(pc.sum(pc.cast(pc.greater(
-                pc.struct_field(t["blob"], "blob_count"), 0),
-                "int64")).as_py() or 0),
-            "mean_ocr_conf": float(pc.mean(t["mean_ocr_conf"]).as_py()
-                                   or 0.0),
-        }
-        os.rename(tmp_dir, final_dir)  # atomic commit
-        with open(os.path.join(out_dir, "_manifests", f"{name}.json"),
-                  "w") as f:
-            json.dump({"lineage": lineage, "metrics": metrics,
-                       "partition": f"part={name}"}, f)
+    for i in range(0, len(todo), group_size):
+        group = todo[i:i + group_size]
+        metrics = _execute_partition(corpus_dir, out_dir, group, cfg,
+                                     _lineage(group, cfg))
         executed += 1
+        units += 1
         for k in totals:
             totals[k] += metrics[k]
         if fail_after is not None and executed >= fail_after:
-            raise RuntimeError(f"injected failure after {executed} partitions")
+            raise RuntimeError(
+                f"injected failure after {executed} partitions")
 
-    return {"partitions": len(shards), "executed": executed,
+    return {"partitions": units, "executed": executed,
             "skipped": skipped, "metrics": totals}

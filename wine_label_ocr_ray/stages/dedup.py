@@ -54,13 +54,70 @@ def best_match(db: List[Dict], maker_norm: str, vintage: Optional[str],
     return "not seen", best_item, best_score, "no sufficient match"
 
 
+class DbIndex:
+    """Indexed view of the committed DB preserving ``best_match``
+    semantics exactly, built once per actor:
+
+    - exact leg (J1): dict on ``key`` keeping the FIRST occurrence
+      (the reference's linear scan returns the first hit) — O(1)
+      instead of O(|DB|) per probe.
+    - fuzzy leg (J2): vintage-bucketed candidate lists in DB order
+      (the reference restricts candidates to the probe's vintage when
+      any exist, ``scan_and_store.py:144-148``) — O(|block|) scoring.
+      First-max-wins argmax order is preserved because buckets keep
+      DB order.
+    """
+
+    def __init__(self, db: List[Dict]):
+        self.db = db
+        self.by_key: Dict[str, Dict] = {}
+        self.by_vintage: Dict[str, List[Dict]] = {}
+        for it in db:
+            k = it.get("key")
+            if k is not None and k not in self.by_key:
+                self.by_key[k] = it
+            v = it.get("vintage")
+            if v is not None:
+                self.by_vintage.setdefault(v, []).append(it)
+
+    def best(self, maker_norm: str, vintage: Optional[str],
+             maker_threshold: int = 85):
+        if not self.db:
+            return "not seen", None, 0, "db empty"
+        key = f"{maker_norm}|{vintage or ''}"
+        if key != "|":
+            hit = self.by_key.get(key)
+            if hit is not None:
+                return "seen", hit, 100, "exact canonical key match"
+        cands = self.db
+        bonus_all = False
+        if vintage:
+            bucket = self.by_vintage.get(vintage)
+            if bucket:
+                cands = bucket
+                bonus_all = True
+        best_item, best_score = None, -1
+        for it in cands:
+            score = F.token_set_ratio(maker_norm, it.get("maker_norm", ""))
+            if bonus_all or (vintage and it.get("vintage") == vintage):
+                score = min(100, score + 5)
+            if score > best_score:
+                best_score = score
+                best_item = it
+        if best_score >= maker_threshold and best_item:
+            return "seen", best_item, best_score, \
+                f"fuzzy maker match >= {maker_threshold}"
+        return "not seen", best_item, best_score, "no sufficient match"
+
+
 class DedupDecide:
     """Actor-pool ``map_batches`` stage: the committed DB is fetched
-    once per actor from the object store (broadcast small side)."""
+    once per actor from the object store (broadcast small side) and
+    indexed once in ``__init__`` (exact-key dict + vintage buckets)."""
 
     def __init__(self, db_ref, maker_threshold: int = 85):
         import ray
-        self.db: List[Dict] = ray.get(db_ref)
+        self.index = DbIndex(ray.get(db_ref))
         self.maker_threshold = maker_threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -71,8 +128,8 @@ class DedupDecide:
              for v in batch.column("vintage").to_pylist()]
         decisions, scores, match_ids, reasons = [], [], [], []
         for mn, vs in zip(makers, vintages):
-            decision, item, score, reason = best_match(
-                self.db, mn or "", vs, self.maker_threshold)
+            decision, item, score, reason = self.index.best(
+                mn or "", vs, self.maker_threshold)
             decisions.append(decision)
             scores.append(int(score))
             match_ids.append(item.get("id") if item else None)
