@@ -159,3 +159,23 @@ def test_blob_salting_equals_unsalted(ray_session):
 
     assert key(salted) == key(base)
     assert len(base) > 100
+
+
+def test_cosine_lsh_pairs_subset_and_recall(ray_session):
+    """Bucketed embedding near-dup pairs: precision is exact (every
+    emitted pair is cosine-verified), recall vs the all-pairs baseline
+    must clear 0.85 with the 16x4-bit table configuration."""
+    from wine_label_ocr_ray.pipelines.queries import QUERIES
+    sf = "/root/testdata/sf0.01"
+    exact = QUERIES["cosine_dup_pairs"](sf)
+    approx = QUERIES["cosine_lsh_dup_pairs"](sf)
+    e = {(r.vec_a, r.vec_b) for r in exact.itertuples()}
+    a = {(r.vec_a, r.vec_b) for r in approx.itertuples()}
+    assert a <= e, a - e  # verification guarantees precision
+    assert e, "baseline produced no pairs; recall check vacuous"
+    recall = len(a & e) / len(e)
+    assert recall >= 0.85, recall
+    # verified cosines must equal the exact baseline's where present
+    em = {(r.vec_a, r.vec_b): r.cosine for r in exact.itertuples()}
+    for r in approx.itertuples():
+        assert em[(r.vec_a, r.vec_b)] == r.cosine

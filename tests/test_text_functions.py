@@ -67,8 +67,11 @@ def test_extract_year(txt, expected):
 
 
 def test_sweep_year_collapses_digit_splits():
-    assert T.sweep_year_from_texts(["2 0 1 9"]) == "2019"
+    # single non-overlapping collapse pass (reference parity,
+    # final_run_ocr.py:279): "2 0 1 9" -> "20 19" -> no vintage
+    assert T.sweep_year_from_texts(["2 0 1 9"]) is None
     assert T.sweep_year_from_texts(["foo", "20 21 bar"]) == "2021"
+    assert T.sweep_year_from_texts(["2 019 vintage"]) == "2019"
     assert T.sweep_year_from_texts(["no digits"]) is None
     # sweep prefers 202x over other matches (ordered patterns)
     assert T.sweep_year_from_texts(["1999 then 2023"]) == "2023"

@@ -87,10 +87,11 @@ def sweep_year_from_texts(texts: List[str]) -> Optional[str]:
     is the engine's concern — this is the text-side reduction.
     """
     full_text = " ".join(texts)
+    # single non-overlapping pass, matching the reference exactly:
+    # "2 0 1 9" becomes "20 19" (no vintage), NOT "2019" — a fixpoint
+    # loop here would diverge from final_run_ocr.py:279 on digit-split
+    # years
     text_no_spaces = _DIGIT_SPACE_DIGIT.sub(r"\1\2", full_text)
-    # repeat to collapse "2 0 1 9" fully (re.sub is non-overlapping)
-    while _DIGIT_SPACE_DIGIT.search(text_no_spaces):
-        text_no_spaces = _DIGIT_SPACE_DIGIT.sub(r"\1\2", text_no_spaces)
     for pattern in _SWEEP_PATTERNS:
         for match in pattern.findall(text_no_spaces):
             if match.startswith(("19", "20")) and 1900 <= int(match) <= 2030:

@@ -170,6 +170,7 @@ QUERIES = {
     "knn_cosine_topk": D.knn_cosine_topk,
     "cosine_dup_pairs": D.cosine_dup_pairs,
     # rows-only (non-SQL-expressible)
+    "cosine_lsh_dup_pairs": D.cosine_lsh_dup_pairs,
     "minhash_lsh_pairs": D.minhash_lsh_pairs,
     "simhash_fingerprints": D.simhash_fingerprints,
     "simhash_near_dup": D.simhash_near_dup,

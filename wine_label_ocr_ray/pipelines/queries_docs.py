@@ -10,7 +10,6 @@ centroid means) are rounded (6dp) because summation order differs.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Set
 
 import numpy as np
 import pandas as pd
@@ -427,6 +426,108 @@ WHERE a.vec_id < b.vec_id
 
 # ------------------------------------------- rows-only (no SQL oracle)
 
+_CLSH_TABLES = 16          # OR-amplification: recall ~1-(1-p^bits)^tables
+_CLSH_BITS = 4             # AND-amplification per table; at production
+                           # scale raise bits with log2(n) so buckets
+                           # stay O(n / 2^bits) and the pair count
+                           # sub-quadratic (the knob, not the design)
+_CLSH_PLANES = np.random.RandomState(2024).randn(_CLSH_TABLES,
+                                                 _CLSH_BITS, 64)
+
+
+def cosine_lsh_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Bucketed embedding near-dup PAIRS — the sub-quadratic scale path
+    next to the all-pairs baseline ``cosine_dup_pairs``: 16 independent
+    4-bit random-hyperplane tables (per-batch vectorized signatures),
+    groupby(table, bucket) emits candidate pairs, distributed dedup,
+    then exact-cosine verification via two hash joins back to the
+    embeddings table (vectors are never all-broadcast and never
+    all-pairs scored). Rows-only; pytest asserts pairs are a subset of
+    the exact result with recall >= 0.85."""
+    from ray.data.aggregate import Count as _Count
+
+    from ._qutil import join_partitions
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        V = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(t), -1)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        ids_out, tables_out, buckets_out = [], [], []
+        for ti in range(_CLSH_TABLES):
+            bits = (V @ _CLSH_PLANES[ti].T) > 0
+            bucket = (bits.astype(np.int64) <<
+                      np.arange(_CLSH_BITS, dtype=np.int64)).sum(axis=1)
+            ids_out.append(vids)
+            tables_out.append(np.full(len(vids), ti, dtype=np.int64))
+            buckets_out.append(bucket)
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(ids_out), pa.int64()),
+            "table": pa.array(np.concatenate(tables_out), pa.int64()),
+            "bucket": pa.array(np.concatenate(buckets_out), pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["vec_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+
+    cand = (ds.map_batches(sig_rows, batch_format="pyarrow")
+              .groupby(["table", "bucket"])
+              .map_groups(pairs, batch_format="pandas")
+              .groupby(["vec_a", "vec_b"])
+              .aggregate(_Count(alias_name="_ntables")))
+
+    def tag(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            emb = t["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            V = emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64).reshape(len(t), -1)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # packed float64 bytes: Arrow hash joins reject list<double>
+            # payload columns, binary passes through fine
+            payload = pa.array([row.tobytes() for row in V], pa.binary())
+            return pa.table({name: t["vec_id"], f"_n_{name}": payload})
+        return fn
+
+    emb_a = read_table(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"]).map_batches(
+        tag("vec_a"), batch_format="pyarrow")
+    emb_b = read_table(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"]).map_batches(
+        tag("vec_b"), batch_format="pyarrow")
+    j = (cand.join(emb_a, join_type="inner",
+                   num_partitions=join_partitions(), on=("vec_a",))
+             .join(emb_b, join_type="inner",
+                   num_partitions=join_partitions(), on=("vec_b",)))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        A = np.stack([np.frombuffer(b, dtype=np.float64)
+                      for b in t["_n_vec_a"].to_pylist()])
+        B = np.stack([np.frombuffer(b, dtype=np.float64)
+                      for b in t["_n_vec_b"].to_pylist()])
+        cos = np.round((A * B).sum(axis=1), 6)
+        keep = cos >= COSINE_DUP_THRESHOLD
+        return pa.table({
+            "vec_a": pc.cast(t["vec_a"], pa.int64()).filter(pa.array(keep)),
+            "vec_b": pc.cast(t["vec_b"], pa.int64()).filter(pa.array(keep)),
+            "cosine": pa.array(cos[keep], pa.float64())})
+
+    out = j.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash(128)+LSH(16 bands) candidate pairs, verified by exact
     Jaccard >= 0.2 — the sub-quadratic near-dup path. No SQL oracle
@@ -458,29 +559,41 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
+    from ._qutil import join_partitions
     cand = (ds.map_batches(sig_rows, batch_format="pandas")
               .groupby(["band", "bucket"])
-              .map_groups(pairs, batch_format="pandas")
-              .to_pandas())
-    if cand.empty:
+              .map_groups(pairs, batch_format="pandas"))
+    # distributed dedup of band-duplicate candidates (a pair colliding
+    # in k bands appears k times)
+    cand = (cand.groupby(["doc_a", "doc_b"])
+                .aggregate(Count(alias_name="_nbands")))
+
+    # distributed verify: join candidates against the shingle dataset
+    # on each side; the per-pair matching-shingle count IS the exact
+    # intersection size (no driver-side text fetch, no per-pair Python)
+    sh_a = (read_table(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(_shingle_rows, batch_format="pandas")
+            .map_batches(lambda t: t.rename_columns(
+                ["doc_a", "shingle", "na"]), batch_format="pyarrow"))
+    sh_b = (read_table(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(_shingle_rows, batch_format="pandas")
+            .map_batches(lambda t: t.rename_columns(
+                ["doc_b", "shingle", "nb"]), batch_format="pyarrow"))
+    j1 = cand.join(sh_a, join_type="inner",
+                   num_partitions=join_partitions(), on=("doc_a",))
+    j2 = j1.join(sh_b, join_type="inner",
+                 num_partitions=join_partitions(),
+                 on=("doc_b", "shingle"), right_on=("doc_b", "shingle"))
+    out = (j2.groupby(["doc_a", "doc_b", "na", "nb"])
+             .aggregate(Count(alias_name="inter"))
+             .to_pandas())
+    if out.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    cand = cand.drop_duplicates().reset_index(drop=True)
-    # verify: fetch only the candidate docs' shingle sets
-    needed = sorted(set(cand.doc_a) | set(cand.doc_b))
-    texts = (read_table(sf_dir, "documents", columns=["doc_id", "text"],
-                        filter=pc.field("doc_id").isin(needed)).to_pandas())
-    sets: Dict[int, Set[str]] = {}
-    for doc_id, text in zip(texts["doc_id"], texts["text"]):
-        toks = text.lower().strip().split()
-        sets[doc_id] = ({" ".join(toks)} if len(toks) <= 3 else
-                        {" ".join(toks[i:i + 3])
-                         for i in range(len(toks) - 2)})
-    jac = [TS.jaccard(sets[a], sets[b])
-           for a, b in zip(cand.doc_a, cand.doc_b)]
-    cand = cand.assign(jaccard=jac)
-    return (cand[cand.jaccard >= JACCARD_THRESHOLD]
+    jac = out["inter"] / (out["na"] + out["nb"] - out["inter"])
+    out = out.assign(jaccard=jac)[jac >= JACCARD_THRESHOLD]
+    return (out[["doc_a", "doc_b", "jaccard"]]
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
@@ -619,11 +732,12 @@ def simhash_near_dup(sf_dir: str) -> pd.DataFrame:
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
         ia, ib = np.triu_indices(len(ids), k=1)
-        # int64 storage is offset by 2^63; recover in python ints (an
-        # int64+2^63 numpy add would overflow-promote to float64)
-        ham = np.array([bin((int(sims[x]) + (1 << 63)) ^
-                            (int(sims[y]) + (1 << 63))).count("1")
-                        for x, y in zip(ia, ib)], dtype=np.int64)
+        # the 2^63 storage offset flips only the top bit, which cancels
+        # under XOR: (h-2^63) ^ (h'-2^63) == h ^ h' bit-for-bit, so XOR
+        # the stored int64s directly and popcount via unpackbits
+        x = (sims[ia] ^ sims[ib]).astype(np.int64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= SIMHASH_MAX_HAMMING
         return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
                              "hamming": ham[keep]})

@@ -116,11 +116,23 @@ def assemble_group(group: pa.Table) -> pa.Table:
 
 
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Deterministic doc bucket for the amortized reassembly shuffle."""
-    import zlib
-    ids = batch.column("doc_id").to_pylist()
-    buckets = [zlib.crc32(d.encode()) % num_buckets for d in ids]
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+    """Deterministic doc bucket for the amortized reassembly shuffle.
+    The bucket value is internal to the shuffle (dropped at assembly),
+    so only run-internal consistency matters: polars' vectorized
+    seeded hash replaces the former per-row Python crc32 loop (the
+    flagship's last per-row hot spot outside the media engines)."""
+    ids = batch.column("doc_id")
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    try:
+        import polars as pl
+        h = pl.from_arrow(ids).hash(seed=42).to_numpy()
+        arr = pa.array((h % num_buckets).astype("int32"), pa.int32())
+    except ImportError:
+        import zlib
+        arr = pa.array([zlib.crc32(d.encode()) % num_buckets
+                        for d in ids.to_pylist()], pa.int32())
+    return batch.append_column("bucket", arr)
 
 
 def assemble_bucket(group: pa.Table) -> pa.Table:
