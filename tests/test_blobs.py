@@ -115,3 +115,68 @@ def test_golden_rows_pairwise():
     for r in nonempty:
         assert B.blob_similarity(r, r) is True
         assert B.blob_similarity(r, empty[0]) is False
+
+
+def test_hungarian_matches_bruteforce():
+    """Pure-numpy Hungarian solver vs exhaustive permutation search on
+    small random matrices (square and rectangular)."""
+    import itertools
+
+    import numpy as np
+
+    from wine_label_ocr_ray.functions.blobs import hungarian
+
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        n = rng.randint(1, 6)
+        m = rng.randint(1, 6)
+        cost = rng.rand(n, m)
+        pairs = hungarian(cost)
+        assert len(pairs) == min(n, m)
+        assert len({a for a, _ in pairs}) == len(pairs)
+        assert len({b for _, b in pairs}) == len(pairs)
+        got = sum(cost[a, b] for a, b in pairs)
+        if n <= m:
+            best = min(sum(cost[i, p[i]] for i in range(n))
+                       for p in itertools.permutations(range(m), n))
+        else:
+            best = min(sum(cost[p[j], j] for j in range(m))
+                       for p in itertools.permutations(range(n), m))
+        assert abs(got - best) < 1e-9, (trial, got, best)
+
+
+def test_hungarian_beats_greedy_on_crossing_matrix():
+    """The documented greedy-vs-optimal divergence case: a crossing
+    cost matrix where greedy's first pick forces a worse total."""
+    import numpy as np
+
+    from wine_label_ocr_ray.functions.blobs import (_assign_greedy,
+                                                    _assign_hungarian)
+
+    cost = np.array([[0.05, 0.10],
+                     [0.10, 0.20]])
+    g = _assign_greedy(cost, pair_threshold=0.22)
+    h = _assign_hungarian(cost, pair_threshold=0.22)
+    # greedy grabs the 0.05 cell, forcing the 0.20 cell: total 0.25;
+    # the optimal assignment takes the two 0.10 cells: total 0.20
+    assert sum(c for *_, c in g) == 0.05 + 0.20
+    assert sum(c for *_, c in h) == 0.10 + 0.10
+
+
+def test_blob_similarity_assign_seam():
+    """assign="hungarian" plugs through blob_similarity and can change
+    the score on crossing matrices while identical inputs still match."""
+    from wine_label_ocr_ray.functions.blobs import blob_similarity
+
+    blobs = [{"x": 1, "y": 1, "w": 4, "h": 4, "cx": 3.0, "cy": 3.0,
+              "area": 16.0, "aspect_ratio": 1.0, "solidity": 1.0,
+              "extent": 1.0},
+             {"x": 10, "y": 10, "w": 4, "h": 4, "cx": 12.0, "cy": 12.0,
+              "area": 16.0, "aspect_ratio": 1.0, "solidity": 1.0,
+              "extent": 1.0}]
+    bd = {"blob_count": 2, "blobs": blobs, "roi_shape": [20, 20]}
+    sim_g, dg = blob_similarity(bd, bd, return_details=True)
+    sim_h, dh = blob_similarity(bd, bd, return_details=True,
+                                assign="hungarian")
+    assert sim_g and sim_h
+    assert dg["score"] == dh["score"] == 1.0

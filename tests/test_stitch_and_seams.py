@@ -1,0 +1,205 @@
+"""M14 stitch, M16 detector-ROI override, M21 sweep-cap contract, and
+the engine-factory seam (VERDICT round-1 items 8-9 + missing 1-2)."""
+
+import numpy as np
+import pytest
+
+from wine_label_ocr_ray.functions.imaging import (resize_bilinear,
+                                                  stitch_horizontal)
+
+
+def test_stitch_equal_heights_is_exact_hstack():
+    a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    b = np.arange(6, dtype=np.uint8).reshape(3, 2) + 100
+    s = stitch_horizontal(a, b)
+    assert s.shape == (3, 6)
+    assert (s[:, :4] == a).all() and (s[:, 4:] == b).all()
+
+
+def test_stitch_height_mismatch_rescales_right():
+    a = np.zeros((40, 10), dtype=np.uint8)
+    b = np.full((20, 8), 200, dtype=np.uint8)
+    s = stitch_horizontal(a, b)
+    # reference law: scale = h1/h2 = 2 -> right width int(8*2) = 16
+    assert s.shape == (40, 26)
+    assert (s[:, :10] == 0).all()
+    assert (s[:, 10:] == 200).all()  # constant image survives resize
+
+
+def test_resize_bilinear_identity_and_range():
+    img = np.random.RandomState(0).randint(0, 255, (17, 23), np.uint8)
+    assert (resize_bilinear(img, 17, 23) == img).all()
+    up = resize_bilinear(img, 34, 46)
+    assert up.shape == (34, 46)
+    assert up.min() >= img.min() and up.max() <= img.max()
+
+
+def test_stitch_pipeline_rows(ray_session, tmp_path):
+    from wine_label_ocr_ray.stages.stitch import build_stitch_pipeline
+    from wine_label_ocr_ray.synth import generate_corpus
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, num_docs=120, seed=11)
+    out = build_stitch_pipeline(corpus).to_pandas()
+    assert len(out) > 0
+    assert (out.stitched_h > 0).all() and (out.stitched_w > 0).all()
+    assert out.checksum.notna().all()
+    assert out.doc_id.is_unique
+    # determinism: a second run is byte-identical
+    out2 = build_stitch_pipeline(corpus).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_stitch_matches_manual_pair(ray_session, tmp_path):
+    """Oracle equality: stitch of the first doc's first two media
+    payloads computed independently equals the pipeline row."""
+    import hashlib
+
+    from wine_label_ocr_ray.sources.media import MediaStore
+    from wine_label_ocr_ray.stages.spans import explode_spans
+    from wine_label_ocr_ray.stages.stitch import build_stitch_pipeline
+    from wine_label_ocr_ray.state.engines import decode_payload
+    from wine_label_ocr_ray.synth import generate_corpus
+    import os
+    import pyarrow.dataset as pads
+
+    corpus = str(tmp_path / "corpus2")
+    generate_corpus(corpus, num_docs=60, seed=3)
+    out = build_stitch_pipeline(corpus).to_pandas().set_index("doc_id")
+
+    docs = pads.dataset(os.path.join(corpus, "documents")).to_table()
+    rows = explode_spans(docs).to_pandas()
+    media = rows[rows.kind == "media"].sort_values(["doc_id", "offset"])
+    store = MediaStore(os.path.join(corpus, "media"))
+    checked = 0
+    for doc_id, g in media.groupby("doc_id"):
+        if len(g) < 2 or doc_id not in out.index:
+            continue
+        refs = g["media_ref"].tolist()[:2]
+        payloads = store.fetch(refs)
+        _, ga = decode_payload(payloads[refs[0]])
+        _, gb = decode_payload(payloads[refs[1]])
+        s = stitch_horizontal(ga, gb)
+        row = out.loc[doc_id]
+        assert (row.stitched_h, row.stitched_w) == s.shape
+        assert row.checksum == hashlib.md5(s.tobytes()).hexdigest()[:16]
+        checked += 1
+        if checked >= 5:
+            break
+    assert checked >= 1
+
+
+def test_roi_detector_override_and_fallback():
+    from wine_label_ocr_ray.functions.enhance import (
+        find_label_roi, find_label_roi_with_detections)
+    img = np.zeros((100, 200), dtype=np.uint8)
+    img[30:70, 60:140] = 180
+    dets = [{"class": "maker_name", "box": [50, 25, 150, 75],
+             "confidence": 0.95},
+            {"class": "vintage", "box": [0, 0, 20, 20],
+             "confidence": 0.99}]
+    # best-confidence box wins, 10px pad, clamped
+    assert find_label_roi_with_detections(img, dets) == (0, 0, 30, 30)
+    # below-threshold detections fall back to the heuristic
+    weak = [{"class": "x", "box": [50, 25, 150, 75], "confidence": 0.5}]
+    assert find_label_roi_with_detections(img, weak) == find_label_roi(img)
+    assert find_label_roi_with_detections(img, []) == find_label_roi(img)
+    # clamping at the far edge
+    edge = [{"class": "x", "box": [150, 60, 199, 99], "confidence": 0.9}]
+    assert find_label_roi_with_detections(img, edge) == (140, 50, 200, 100)
+
+
+def test_blob_analyzer_uses_detector_box():
+    from wine_label_ocr_ray.state.engines import BlobAnalyzer
+    img = np.zeros((80, 120), dtype=np.uint8)
+    img[20:60, 30:90] = 200
+    dets = [{"class": "maker_name", "box": [30, 20, 90, 60],
+             "confidence": 0.9}]
+    overridden = BlobAnalyzer(30.0, crop_label=True).analyze(
+        img, detections=dets)
+    # 10px pad around the detection box -> ROI (20,10)-(100,70)
+    assert overridden["roi_shape"] == [60, 80]
+    heuristic = BlobAnalyzer(30.0, crop_label=True).analyze(img)
+    assert heuristic["roi_shape"] != [80, 120]
+
+
+def test_ocr_sweep_cap_contract():
+    """The sweep cap reaches the engine; default implementation is the
+    ocr_full view; a custom adapter sees the configured bound."""
+    from wine_label_ocr_ray.state.engines import (OcrEngine,
+                                                  SyntheticOcrEngine)
+
+    decoded = {"elements": [{"truth_text": "CHATEAU 2019", "ocr_conf": 0.9,
+                             "box": [0, 0, 10, 10], "cls": "vintage"}],
+               "background_texts": ["noise"]}
+    syn = SyntheticOcrEngine()
+    assert syn.ocr_sweep(decoded, 75) == syn.ocr_full(decoded)
+
+    seen = {}
+
+    class CountingOcr(OcrEngine):
+        def ocr_box(self, d, box):
+            return [], []
+
+        def ocr_full(self, d):
+            return []
+
+        def ocr_sweep(self, d, max_variants=75):
+            seen["cap"] = max_variants
+            return ["2016"]
+
+    from wine_label_ocr_ray.stages.media import extract_media_fields
+    from wine_label_ocr_ray.state.engines import (BlobAnalyzer,
+                                                  SyntheticBarcodeEngine,
+                                                  SyntheticDetectEngine)
+    decoded_full = {"w": 64, "h": 48, "elements": [],
+                    "background_texts": []}
+    gray = np.zeros((48, 64), dtype=np.uint8)
+    fields = extract_media_fields(
+        decoded_full, gray,
+        detect_engine=SyntheticDetectEngine(),
+        ocr_engine=CountingOcr(),
+        barcode_engine=SyntheticBarcodeEngine(),
+        blob_analyzer=BlobAnalyzer(),
+        sweep_max_variants=42)
+    assert seen["cap"] == 42
+    assert fields["vintage_str"] == "2016"
+
+
+def test_engine_factory_seam(ray_session, tmp_path):
+    """A second (non-synthetic) engine factory plugs through
+    PipelineConfig.engines into the actor pool and visibly changes the
+    pipeline output — proving the ABC seam with a real pipeline run."""
+    from wine_label_ocr_ray.config import PipelineConfig
+    from wine_label_ocr_ray.pipelines.extract import build_extract_pipeline
+    from wine_label_ocr_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus3")
+    generate_corpus(corpus, num_docs=40, seed=5)
+
+    # adapter smoke: same ABCs, trivially different behavior (reads
+    # nothing). Defined INSIDE the test so cloudpickle ships it by
+    # value — a test-module-level function pickles by reference and
+    # Ray workers cannot import tests/.
+    def blind_engines(confidence_threshold: float = 0.01):
+        from wine_label_ocr_ray.state.engines import (
+            OcrEngine, SyntheticBarcodeEngine, SyntheticDetectEngine)
+
+        class BlindOcr(OcrEngine):
+            def ocr_box(self, decoded, box):
+                return [], []
+
+            def ocr_full(self, decoded):
+                return []
+
+        return (SyntheticDetectEngine(confidence_threshold), BlindOcr(),
+                SyntheticBarcodeEngine())
+
+    base = build_extract_pipeline(corpus).to_pandas()
+    alt = build_extract_pipeline(
+        corpus, PipelineConfig(engines=blind_engines)).to_pandas()
+    assert len(base) == len(alt) == 40
+    assert base.maker_name.notna().any()
+    assert alt.maker_name.isna().all()      # blind OCR finds nothing
+    assert alt.barcode.equals(base.barcode)  # barcode engine unchanged

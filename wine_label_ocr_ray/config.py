@@ -16,6 +16,15 @@ class PipelineConfig:
     box_pad: float = 0.08
     min_blob_area: float = 30.0
 
+    # engine selection (SURVEY.md section 2.4): a state.engines
+    # registry name, or a factory callable (conf_threshold) ->
+    # (detect, ocr, barcode) shipped by value to the actors
+    engines: object = "synthetic"
+    # M21 image-side fan-out cap for OcrEngine.ocr_sweep (reference
+    # enumerates 5 preprocess x 5 regions x 3 rotations = 75,
+    # final_run_ocr.py:187-297); real adapters honor this bound
+    sweep_max_variants: int = 75
+
     # similarity / dedup thresholds (BlobSimilarity.py:105-116,
     # scan_and_store.py:127)
     maker_threshold: int = 85

@@ -4,10 +4,21 @@
   (verified byte-exact against all 5 golden rows of
   ``/root/reference/wine_database.jsonl``).
 - ``blob_similarity``    -> ``similarity_functions/BlobSimilarity.py:20-144``.
-  The assignment step uses the reference's own greedy argsort fallback
-  (``BlobSimilarity.py:86-93``) as the primary implementation — scipy's
-  ``linear_sum_assignment`` is absent from this environment and the
-  greedy path is the reference's documented degradation.
+  The assignment step defaults to the reference's own greedy argsort
+  fallback (``BlobSimilarity.py:86-93``) — matching the behavior a
+  scipy-free deployment of the reference exhibits — and exposes the
+  optimal path via ``assign="hungarian"`` (pure-numpy shortest-
+  augmenting-path solver below; scipy's ``linear_sum_assignment`` is
+  absent from this environment) so both reference behaviors are
+  reproducible.
+
+Attribution: the numeric feature/cost/score formulas in this module
+(feature extraction, translation estimate, weighted cost matrix,
+coverage x quality score — constants and operation order included) are
+derived from ``similarity_functions/BlobSimilarity.py`` of the
+MIT-licensed reference repository ``SrikarG30/wine-label-ocr``; the
+golden-fixture tests require byte-exact semantic parity, so those
+formulas ARE the specification. See NOTICE at the repo root.
 """
 
 from __future__ import annotations
@@ -136,6 +147,76 @@ def _assign_greedy(cost: np.ndarray, pair_threshold: float = 0.22):
     return pairs
 
 
+def hungarian(cost: np.ndarray) -> List[Tuple[int, int]]:
+    """Minimum-cost assignment on a rectangular matrix via the classic
+    shortest-augmenting-path (Jonker-Volgenant style) algorithm,
+    O(n^2 m) — the public textbook formulation, no scipy. Returns
+    min(n, m) (row, col) pairs."""
+    n, m = cost.shape
+    transposed = False
+    if n > m:
+        cost = cost.T
+        n, m = m, n
+        transposed = True
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (m + 1)
+    p = [0] * (m + 1)      # p[j]: row matched to column j (1-indexed)
+    way = [0] * (m + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (m + 1)
+        used = [False] * (m + 1)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta, j1 = INF, 0
+            row = cost[i0 - 1]
+            for j in range(1, m + 1):
+                if not used[j]:
+                    cur = row[j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(m + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    pairs = [(p[j] - 1, j - 1) for j in range(1, m + 1) if p[j] != 0]
+    if transposed:
+        pairs = [(b, a) for a, b in pairs]
+    return sorted(pairs)
+
+
+def _assign_hungarian(cost: np.ndarray, pair_threshold: float = 0.22):
+    """The reference's PRIMARY path (``BlobSimilarity.py:80-84``):
+    optimal assignment on the gated cost matrix (entries above the pair
+    threshold raised to 1e6), keeping only pairs within threshold."""
+    na, nb = cost.shape
+    if na == 0 or nb == 0:
+        return []
+    gated = cost.copy()
+    gated[gated > pair_threshold] = 1e6
+    return [(a, b, float(cost[a, b])) for a, b in hungarian(gated)
+            if cost[a, b] <= pair_threshold]
+
+
+_ASSIGNERS = {"greedy": _assign_greedy, "hungarian": _assign_hungarian}
+
+
 def _score(nA: int, nB: int, pairs, costs, pair_threshold: float):
     """Coverage x quality harmonic score (``BlobSimilarity.py:95-102``)."""
     if nA == 0 and nB == 0:
@@ -152,7 +233,8 @@ def _score(nA: int, nB: int, pairs, costs, pair_threshold: float):
 def blob_similarity(blobdata1: Optional[Dict], blobdata2: Optional[Dict], *,
                     threshold: float = 0.55, pair_threshold: float = 0.22,
                     weights: Optional[Dict] = None,
-                    return_details: bool = False):
+                    return_details: bool = False,
+                    assign="greedy"):
     """``isBlobDataSimilar`` over two BlobData dicts
     (``BlobSimilarity.py:105-144``): empty side short-circuits to False
     before the both-empty branch, exactly like the public API."""
@@ -170,7 +252,8 @@ def blob_similarity(blobdata1: Optional[Dict], blobdata2: Optional[Dict], *,
         return (False, details) if return_details else False
     shift = _estimate_translation(F1["pos"], F2["pos"])
     cost = _build_cost_matrix(F1, F2, shift, weights)
-    pairs = _assign_greedy(cost, pair_threshold=pair_threshold)
+    assign_fn = _ASSIGNERS[assign] if isinstance(assign, str) else assign
+    pairs = assign_fn(cost, pair_threshold=pair_threshold)
     costs = [c for *_, c in pairs]
     score, coverage, med_cost = _score(n1, n2, pairs, costs, pair_threshold)
     similar = score >= threshold

@@ -166,6 +166,28 @@ def find_label_roi(gray: np.ndarray) -> Tuple[int, int, int, int]:
     return best_box
 
 
+def find_label_roi_with_detections(gray: np.ndarray, detections,
+                                   conf_threshold: float = 0.8,
+                                   pad: int = 10
+                                   ) -> Tuple[int, int, int, int]:
+    """M16 (``hybrid.py:66-99``): detector-supplied ROI override — the
+    best detection box at or above the confidence threshold, grown by a
+    fixed 10px pad and clamped to the frame; falls back to the M15
+    heuristic when no detection qualifies."""
+    H, W = gray.shape[:2]
+    best_box, best_conf = None, 0.0
+    for det in detections or []:
+        conf = float(det.get("confidence", 0.0))
+        if conf >= conf_threshold and conf > best_conf:
+            best_conf = conf
+            best_box = det["box"]
+    if best_box is not None:
+        x1, y1, x2, y2 = (int(v) for v in best_box)
+        return (max(0, x1 - pad), max(0, y1 - pad),
+                min(W, x2 + pad), min(H, y2 + pad))
+    return find_label_roi(gray)
+
+
 def align_vertically(gray: np.ndarray) -> Tuple[np.ndarray, float]:
     """Rotation search maximizing empty columns of the Otsu-binarized
     image (hybrid.py:148-170): probe +1 degree to pick the sweep

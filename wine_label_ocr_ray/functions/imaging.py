@@ -325,3 +325,41 @@ def extract_smart_blobs(mask: np.ndarray, min_area: float = 30.0) -> List[Dict]:
                 "extent": float(extent),
             })
     return blobs
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize (documented stand-in for the
+    reference's cv2 INTER_CUBIC — same contract, smoother kernel
+    unavailable without cv2; the divergence class is the same as the
+    bilateral~gaussian note in enhance.py)."""
+    H, W = img.shape[:2]
+    if (H, W) == (out_h, out_w):
+        return img.copy()
+    ys = (np.arange(out_h) + 0.5) * H / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * W / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, H - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, W - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = img[y0][:, x0].astype(np.float64)
+    b = img[y0][:, x1].astype(np.float64)
+    c = img[y1][:, x0].astype(np.float64)
+    d = img[y1][:, x1].astype(np.float64)
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx +
+           c * wy * (1 - wx) + d * wy * wx)
+    return np.round(out).astype(img.dtype)
+
+
+def stitch_horizontal(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
+    """M14 (``Photo_Stitch.py:124-132``): side-by-side stitch with
+    matched heights — the right image is rescaled to the left image's
+    height (width scaled proportionally, floor like the reference's
+    int()), then hstacked."""
+    h1 = img1.shape[0]
+    h2, w2 = img2.shape[:2]
+    if h1 != h2:
+        scale = h1 / float(h2 if h2 else 1)
+        img2 = resize_bilinear(img2, h1, max(1, int(w2 * scale)))
+    return np.hstack((img1, img2))

@@ -58,6 +58,8 @@ def build_extract_pipeline(corpus_dir: str,
             min_blob_area=cfg.min_blob_area,
             crop_label=cfg.crop_label,
             skip_alignment=cfg.skip_alignment,
+            engines=cfg.engines,
+            sweep_max_variants=cfg.sweep_max_variants,
         ),
         batch_format="pyarrow",
         batch_size=cfg.media_batch_size,

@@ -119,6 +119,21 @@ def flagship_extract_full(sf_dir: str):
     return build_extract_pipeline(corpus)
 
 
+def media_stitch(sf_dir: str) -> pd.DataFrame:
+    """M14 horizontal stitch over the derived corpus: one row per doc
+    with >= 2 media spans (front/back pair stitched with matched
+    heights). Rows-only (pixel reduce, not SQL-expressible)."""
+    from ..stages.stitch import build_stitch_pipeline
+    from ..synth import derive_corpus_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus = derive_corpus_from_documents(
+        os.path.join(sf_dir, "documents.parquet"),
+        f"/tmp/wlor_corpus_{tag}", seed=42)
+    out = build_stitch_pipeline(corpus).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def record_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact record-level dedup over flagship output: first-wins per
     canonical key among valid records (reference D1 semantics,
@@ -181,6 +196,7 @@ QUERIES = {
     "dedup_decision": dedup_decision,
     "blob_near_dup": blob_near_dup,
     "media_decode_stats": media_decode_stats,
+    "media_stitch": media_stitch,
 }
 
 ORACLE_SQL = {

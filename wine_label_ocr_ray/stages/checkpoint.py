@@ -49,6 +49,11 @@ _SEMANTIC_KEYS = ("confidence_threshold", "box_pad", "min_blob_area",
 def _config_hash(cfg: PipelineConfig) -> str:
     d = asdict(cfg)
     payload = {k: d[k] for k in _SEMANTIC_KEYS}
+    # engine choice is semantic; identify callables stably by qualname
+    eng = cfg.engines
+    payload["engines"] = eng if isinstance(eng, str) else \
+        f"{getattr(eng, '__module__', '?')}.{getattr(eng, '__qualname__', repr(eng))}"
+    payload["sweep_max_variants"] = cfg.sweep_max_variants
     return hashlib.sha1(json.dumps(payload, sort_keys=True,
                                    default=str).encode()).hexdigest()[:12]
 

@@ -29,9 +29,7 @@ import pyarrow as pa
 from ..functions import text as T
 from ..functions.imaging import pad_box
 from ..sources.media import MediaStore
-from ..state.engines import (BlobAnalyzer, SyntheticBarcodeEngine,
-                             SyntheticDetectEngine, SyntheticOcrEngine,
-                             decode_payload)
+from ..state.engines import BlobAnalyzer, decode_payload, resolve_engines
 
 _MAKER_CLASSES = frozenset({"maker_name", "producer", "winery"})
 _VINTAGE_CLASSES = frozenset({"vintage", "year"})
@@ -39,7 +37,8 @@ _VINTAGE_CLASSES = frozenset({"vintage", "year"})
 
 def extract_media_fields(decoded: Dict, gray: np.ndarray, *,
                          detect_engine, ocr_engine, barcode_engine,
-                         blob_analyzer, pad: float = 0.08) -> Dict:
+                         blob_analyzer, pad: float = 0.08,
+                         sweep_max_variants: int = 75) -> Dict:
     """Process ONE media payload -> span-row field dict. Pure given the
     engines. The oracle (oracle.py) re-implements this chain
     independently; the pipeline test asserts the two agree per row."""
@@ -80,12 +79,13 @@ def extract_media_fields(decoded: Dict, gray: np.ndarray, *,
             raw.setdefault(cls_lower, []).append((txt, conf))
 
     if not vintage_by_yolo and not out_vintage:
-        sweep = T.sweep_year_from_texts(ocr_engine.ocr_full(decoded))
+        sweep = T.sweep_year_from_texts(
+            ocr_engine.ocr_sweep(decoded, sweep_max_variants))
         if sweep:
             out_vintage = sweep
             raw["vintage_from_fallback"] = sweep
 
-    blob = blob_analyzer.analyze(gray)
+    blob = blob_analyzer.analyze(gray, detections=detections)
     return {
         "span_text": " ".join(span_texts).strip(),
         "maker_name": out_maker,
@@ -104,15 +104,17 @@ class MediaExtract:
 
     def __init__(self, media_path: str, *, confidence_threshold: float = 0.01,
                  pad: float = 0.08, min_blob_area: float = 30.0,
-                 crop_label: bool = False, skip_alignment: bool = True):
+                 crop_label: bool = False, skip_alignment: bool = True,
+                 engines="synthetic", sweep_max_variants: int = 75):
         self.store = MediaStore(media_path)
-        self.detect_engine = SyntheticDetectEngine(confidence_threshold)
-        self.ocr_engine = SyntheticOcrEngine()
-        self.barcode_engine = SyntheticBarcodeEngine()
+        (self.detect_engine, self.ocr_engine,
+         self.barcode_engine) = resolve_engines(engines,
+                                                confidence_threshold)
         self.blob_analyzer = BlobAnalyzer(min_blob_area,
                                           crop_label=crop_label,
                                           skip_alignment=skip_alignment)
         self.pad = pad
+        self.sweep_max_variants = sweep_max_variants
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -149,7 +151,8 @@ class MediaExtract:
                     decoded, gray, detect_engine=self.detect_engine,
                     ocr_engine=self.ocr_engine,
                     barcode_engine=self.barcode_engine,
-                    blob_analyzer=self.blob_analyzer, pad=self.pad)
+                    blob_analyzer=self.blob_analyzer, pad=self.pad,
+                    sweep_max_variants=self.sweep_max_variants)
             for name in vals:
                 vals[name].append(fields[name])
 

@@ -25,7 +25,8 @@ from ..functions.blobs import blob_fingerprint
 # deferred relative import inside a method would attempt a real
 # `import wine_label_ocr_ray...` on the worker (ModuleNotFoundError
 # when the driver's cwd is not the repo).
-from ..functions.enhance import align_vertically, find_label_roi
+from ..functions.enhance import (align_vertically, find_label_roi,
+                                 find_label_roi_with_detections)
 from ..synth import decode_payload
 
 
@@ -47,6 +48,23 @@ class OcrEngine(ABC):
     def ocr_full(self, decoded: Dict) -> List[str]:
         """Full-image OCR (the fallback sweep's view): every text the
         image contains, including outside detection boxes."""
+
+    def ocr_sweep(self, decoded: Dict, max_variants: int = 75) -> List[str]:
+        """M21 contract (``final_run_ocr.py:187-297``): the vintage
+        fallback sweep's image-side fan-out — up to ``max_variants``
+        OCR passes over preprocess-variant x region x rotation
+        combinations of the image (the reference enumerates 5 x 5 x 3
+        = 75), returning ALL collected texts for the text-side
+        reduction (functions/text.py::sweep_year_from_texts).
+
+        A production adapter (PaddleOCR etc.) implements the real
+        fan-out honoring the cap, reproducing the reference's sweep
+        recall and its ~75x worst-case cost skew (SURVEY.md section 4).
+        The default — and the synthetic engine — returns the
+        ``ocr_full`` view: the union of everything any variant could
+        read, which is exact for ground-truth-decoding engines."""
+        del max_variants
+        return self.ocr_full(decoded)
 
 
 class BarcodeEngine(ABC):
@@ -107,16 +125,24 @@ class BlobAnalyzer:
     skip_alignment=True)."""
 
     def __init__(self, min_blob_area: float = 30.0, *,
-                 crop_label: bool = False, skip_alignment: bool = True):
+                 crop_label: bool = False, skip_alignment: bool = True,
+                 roi_conf_threshold: float = 0.8):
         self.min_blob_area = min_blob_area
         self.crop_label = crop_label
         self.skip_alignment = skip_alignment
+        self.roi_conf_threshold = roi_conf_threshold
 
-    def analyze(self, gray: np.ndarray) -> Dict:
+    def analyze(self, gray: np.ndarray, detections=None) -> Dict:
         H, W = gray.shape[:2]
         x1, y1, x2, y2 = (0, 0, W, H)
         if self.crop_label:
-            x1, y1, x2, y2 = find_label_roi(gray)
+            # M16: detector-box override (best box >= conf 0.8 + 10px
+            # pad, hybrid.py:66-99) with M15 heuristic fallback
+            if detections:
+                x1, y1, x2, y2 = find_label_roi_with_detections(
+                    gray, detections, self.roi_conf_threshold)
+            else:
+                x1, y1, x2, y2 = find_label_roi(gray)
         roi = gray[y1:y2, x1:x2]
         alignment_angle = 0.0
         if not self.skip_alignment:
@@ -135,8 +161,26 @@ def default_engines(confidence_threshold: float = 0.01):
             SyntheticOcrEngine(), SyntheticBarcodeEngine())
 
 
+# Engine registry (SURVEY.md section 2.9 extension surface): factories
+# take the detect confidence threshold and return (detect, ocr,
+# barcode). Statically-registered names resolve on workers too (the
+# module ships by value); runtime-registered custom engines should be
+# passed to PipelineConfig.engines as the factory CALLABLE itself
+# (cloudpickle ships it by value) rather than a name. Production
+# adapters (ultralytics YOLO / PaddleOCR / pytesseract / pyzbar per
+# SURVEY section 2.4) register here when their libraries exist.
+ENGINE_FACTORIES = {"synthetic": default_engines}
+
+
+def resolve_engines(spec, confidence_threshold: float = 0.01):
+    """spec: registry name or factory callable -> engine triple."""
+    factory = ENGINE_FACTORIES[spec] if isinstance(spec, str) else spec
+    return factory(confidence_threshold)
+
+
 __all__ = [
     "DetectEngine", "OcrEngine", "BarcodeEngine",
     "SyntheticDetectEngine", "SyntheticOcrEngine", "SyntheticBarcodeEngine",
-    "BlobAnalyzer", "default_engines", "decode_payload",
+    "BlobAnalyzer", "default_engines", "ENGINE_FACTORIES",
+    "resolve_engines", "decode_payload",
 ]
