@@ -10,6 +10,7 @@ centroid means) are rounded (6dp) because summation order differs.
 from __future__ import annotations
 
 import hashlib
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -528,6 +529,49 @@ def cosine_lsh_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+# LSH buckets are grouped by (band, bucket % SALT), not (band, bucket):
+# a raw bucket key has ~n distinct values, and sliced map_groups pays
+# ~200us per group — 1e5 tiny groups turn a seconds-long job into
+# minutes. The salted key caps the group COUNT at bands*SALT while the
+# pandas sub-groupby inside each group keeps exact bucket semantics;
+# group SIZE stays bounded at ~n/SALT rows per band.
+_BUCKET_SALT = 64
+
+
+def _bucket_pairs(g: pd.DataFrame, id_col: str = "doc_id",
+                  a_col: str = "doc_a", b_col: str = "doc_b",
+                  extra_col: Optional[str] = None) -> pd.DataFrame:
+    """All same-bucket pairs within one (band, bucket_mod) group via a
+    local pandas sub-groupby over the exact bucket key. ``extra_col``
+    optionally carries a per-row value onto both pair sides (as
+    <extra>_a / <extra>_b)."""
+    out_a, out_b, out_xa, out_xb = [], [], [], []
+    for _, sub in g.groupby("bucket", sort=False):
+        if len(sub) < 2:
+            continue
+        order = np.argsort(sub[id_col].to_numpy(), kind="stable")
+        ids = sub[id_col].to_numpy()[order]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+        if extra_col is not None:
+            x = sub[extra_col].to_numpy()[order]
+            out_xa.append(x[ia])
+            out_xb.append(x[ib])
+    if not out_a:
+        cols = {a_col: pd.Series([], dtype="int64"),
+                b_col: pd.Series([], dtype="int64")}
+        if extra_col is not None:
+            cols[f"{extra_col}_a"] = pd.Series([], dtype="int64")
+            cols[f"{extra_col}_b"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(cols)
+    cols = {a_col: np.concatenate(out_a), b_col: np.concatenate(out_b)}
+    if extra_col is not None:
+        cols[f"{extra_col}_a"] = np.concatenate(out_xa)
+        cols[f"{extra_col}_b"] = np.concatenate(out_xb)
+    return pd.DataFrame(cols)
+
+
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash(128)+LSH(16 bands) candidate pairs, verified by exact
     Jaccard >= 0.2 — the sub-quadratic near-dup path. No SQL oracle
@@ -551,38 +595,50 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
                 rows["bucket"].append(np.int64(bucket - (1 << 63)))
         return pd.DataFrame(rows)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
     from ._qutil import join_partitions
     cand = (ds.map_batches(sig_rows, batch_format="pandas")
-              .groupby(["band", "bucket"])
-              .map_groups(pairs, batch_format="pandas"))
+              .map_batches(lambda df: df.assign(
+                  bucket_mod=df["bucket"].to_numpy() % _BUCKET_SALT),
+                  batch_format="pandas")
+              .groupby(["band", "bucket_mod"])
+              .map_groups(_bucket_pairs, batch_format="pandas"))
     # distributed dedup of band-duplicate candidates (a pair colliding
     # in k bands appears k times)
+    # small pair table; materialize so the id-set probe and the verify
+    # join don't re-execute the signature pipeline
     cand = (cand.groupby(["doc_a", "doc_b"])
-                .aggregate(Count(alias_name="_nbands")))
+                .aggregate(Count(alias_name="_nbands")).materialize())
 
     # distributed verify: join candidates against the shingle dataset
     # on each side; the per-pair matching-shingle count IS the exact
-    # intersection size (no driver-side text fetch, no per-pair Python)
-    sh_a = (read_table(sf_dir, "documents", columns=["doc_id", "text"])
-            .map_batches(_shingle_rows, batch_format="pandas")
-            .map_batches(lambda t: t.rename_columns(
-                ["doc_a", "shingle", "na"]), batch_format="pyarrow"))
-    sh_b = (read_table(sf_dir, "documents", columns=["doc_id", "text"])
-            .map_batches(_shingle_rows, batch_format="pandas")
-            .map_batches(lambda t: t.rename_columns(
-                ["doc_b", "shingle", "nb"]), batch_format="pyarrow"))
+    # intersection size (no driver-side text fetch, no per-pair
+    # Python). Only candidate DOC IDS (a small key set, not texts)
+    # touch the driver — they become the pushed-down read predicate
+    # that prunes the shingle explode to candidate docs only.
+    needed = sorted({int(v) for col in ("doc_a", "doc_b")
+                     for v in cand.select_columns([col]).unique(col)})
+    if not needed:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    sh = (read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                     filter=pc.field("doc_id").isin(needed))
+          .map_batches(_shingle_rows, batch_format="pandas")
+          .materialize())
+    sh_a = sh.map_batches(lambda t: t.rename_columns(
+        ["doc_a", "shingle", "na"]), batch_format="pyarrow")
+    sh_b = sh.map_batches(lambda t: t.rename_columns(
+        ["doc_b", "shingle", "nb"]), batch_format="pyarrow")
+    # verify-join parallelism sized to the CANDIDATE volume, not the
+    # cluster: each hash-join partition spawns an aggregator actor
+    # with seconds of ramp, which dominates when candidates are few;
+    # scales back up with the candidate count at production volume
+    shingle_rows = sh.count()
+    nparts = max(2, min(join_partitions(), shingle_rows // 20000 + 2))
     j1 = cand.join(sh_a, join_type="inner",
-                   num_partitions=join_partitions(), on=("doc_a",))
+                   num_partitions=nparts, on=("doc_a",))
     j2 = j1.join(sh_b, join_type="inner",
-                 num_partitions=join_partitions(),
+                 num_partitions=nparts,
                  on=("doc_b", "shingle"), right_on=("doc_b", "shingle"))
     out = (j2.groupby(["doc_a", "doc_b", "na", "nb"])
              .aggregate(Count(alias_name="inter"))
@@ -713,38 +769,42 @@ def simhash_near_dup(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band": [], "chunk": [], "sim": []}
+        rows = {"doc_id": [], "band": [], "bucket": [], "bucket_mod": [],
+                "sim": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
             h = TS.simhash64(text.lower().split())
             for band in range(4):
+                chunk = (h >> (16 * band)) & 0xFFFF
                 rows["doc_id"].append(doc_id)
                 rows["band"].append(band)
-                rows["chunk"].append((h >> (16 * band)) & 0xFFFF)
+                rows["bucket"].append(chunk)
+                rows["bucket_mod"].append(chunk % _BUCKET_SALT)
                 rows["sim"].append(np.int64(h - (1 << 63)))
         return pd.DataFrame(rows)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sims = g["sim"].to_numpy()
-        if len(ids) < 2:
+    def ham_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
         # the 2^63 storage offset flips only the top bit, which cancels
         # under XOR: (h-2^63) ^ (h'-2^63) == h ^ h' bit-for-bit, so XOR
         # the stored int64s directly and popcount via unpackbits
-        x = (sims[ia] ^ sims[ib]).astype(np.int64)
+        x = (df["sim_a"].to_numpy() ^ df["sim_b"].to_numpy()).astype(
+            np.int64)
         ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
                             axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= SIMHASH_MAX_HAMMING
-        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+        return pd.DataFrame({"doc_a": df["doc_a"].to_numpy()[keep],
+                             "doc_b": df["doc_b"].to_numpy()[keep],
                              "hamming": ham[keep]})
 
+    import functools
     out = (ds.map_batches(sig_rows, batch_format="pandas")
-             .groupby(["band", "chunk"])
-             .map_groups(pairs, batch_format="pandas")
+             .groupby(["band", "bucket_mod"])
+             .map_groups(functools.partial(_bucket_pairs, extra_col="sim"),
+                         batch_format="pandas")
+             .map_batches(ham_filter, batch_format="pandas")
              .to_pandas())
     if out.empty:
         return out
