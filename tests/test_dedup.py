@@ -179,3 +179,23 @@ def test_cosine_lsh_pairs_subset_and_recall(ray_session):
     em = {(r.vec_a, r.vec_b): r.cosine for r in exact.itertuples()}
     for r in approx.itertuples():
         assert em[(r.vec_a, r.vec_b)] == r.cosine
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF ANN: scores exact where pairs overlap; recall vs the
+    brute-force result must be meaningful with nprobe=4 of 16 lists."""
+    from wine_label_ocr_ray.pipelines.queries import QUERIES
+    sf = "/root/testdata/sf0.01"
+    exact = QUERIES["knn_cosine_topk"](sf)
+    approx = QUERIES["knn_ivf_topk"](sf)
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall
+    em = {(r.query_id, r.neighbor_id): r.score for r in exact.itertuples()}
+    for r in approx.itertuples():
+        if (r.query_id, r.neighbor_id) in em:
+            assert em[(r.query_id, r.neighbor_id)] == r.score
+    # determinism
+    again = QUERIES["knn_ivf_topk"](sf)
+    assert approx.equals(again)

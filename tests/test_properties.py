@@ -91,3 +91,40 @@ def test_blob_fingerprint_stable_under_permutation(specs):
     assert fp1 == fp2
     if not blobs:
         assert fp1 == "empty"
+
+
+def test_bucket_pairs_salted_equals_naive():
+    """Salted (band, bucket%K) grouping + local sub-groupby emits
+    exactly the same pair set as naive per-bucket grouping."""
+    import numpy as np
+    import pandas as pd
+
+    from wine_label_ocr_ray.pipelines.queries_docs import (_BUCKET_SALT,
+                                                           _bucket_pairs)
+
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "bucket": rng.randint(-5000, 5000, n).astype(np.int64),
+        "sim": rng.randint(-2**62, 2**62, n).astype(np.int64),
+    })
+    df["bucket_mod"] = df["bucket"].to_numpy() % _BUCKET_SALT
+
+    got = set()
+    for _, g in df.groupby("bucket_mod"):
+        out = _bucket_pairs(g, extra_col="sim")
+        got |= set(zip(out.doc_a, out.doc_b))
+        # extra columns carry each side's value
+        sim_of = dict(zip(df.doc_id, df.sim))
+        for r in out.itertuples():
+            assert sim_of[r.doc_a] == r.sim_a
+            assert sim_of[r.doc_b] == r.sim_b
+
+    naive = set()
+    for _, g in df.groupby("bucket"):
+        ids = np.sort(g["doc_id"].to_numpy())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                naive.add((ids[i], ids[j]))
+    assert got == naive and naive  # non-vacuous

@@ -73,9 +73,12 @@ def build_extract_pipeline(corpus_dir: str,
             fn_constructor_kwargs=dict(media_path=media_path,
                                        out_dir=cfg.debug_out),
             batch_format="pyarrow", concurrency=1)
-    # Reassembly shuffle: bucket by doc-id hash, assemble every doc of
-    # a bucket in one map_groups call (per-doc map_groups pays ~200us
-    # of slicing overhead per document — prohibitive at 1e12 docs).
+    # Reassembly shuffle: bucket by doc-id hash (a separate TASK-pool
+    # op, NOT fused into the media actors — measured: fusing it
+    # serializes the hash onto the bottleneck actor pool and costs
+    # seconds), assemble every doc of a bucket in one map_groups call
+    # (per-doc map_groups pays ~200us of slicing overhead per document
+    # — prohibitive at 1e12 docs).
     num_buckets = cfg.assembly_num_partitions
     if num_buckets is None:
         import ray

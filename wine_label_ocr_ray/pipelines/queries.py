@@ -191,6 +191,7 @@ QUERIES = {
     "simhash_near_dup": D.simhash_near_dup,
     "doc_rolling_fingerprint": D.doc_rolling_fingerprint,
     "knn_lsh_topk": D.knn_lsh_topk,
+    "knn_ivf_topk": D.knn_ivf_topk,
     "flagship_extract": flagship_extract,
     "record_dedup_exact": record_dedup_exact,
     "dedup_decision": dedup_decision,

@@ -277,16 +277,17 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
         m = emb.flatten().to_numpy(zero_copy_only=False).astype(
             np.float64).reshape(len(t), -1)
         labels = t["label"].to_numpy(zero_copy_only=False)
-        rows = {"label": [], "dim": [], "s": [], "c": []}
-        for lab in np.unique(labels):
-            sel = m[labels == lab]
-            sums = sel.sum(axis=0)
-            for d in range(m.shape[1]):
-                rows["label"].append(int(lab))
-                rows["dim"].append(d + 1)
-                rows["s"].append(float(sums[d]))
-                rows["c"].append(sel.shape[0])
-        return pa.table(rows)
+        labs, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(labs), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(labs))
+        D = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(labs.astype(np.int64), D)),
+            "dim": pa.array(np.tile(np.arange(1, D + 1, dtype=np.int64),
+                                    len(labs))),
+            "s": pa.array(sums.ravel()),
+            "c": pa.array(np.repeat(counts, D).astype(np.int64))})
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["label", "dim"])
@@ -666,8 +667,8 @@ def _lsh_bucket(V: np.ndarray) -> np.ndarray:
 
 def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed approximate top-k cosine search: candidates limited
-    to vectors whose 8-bit hyperplane signature is within Hamming
-    distance 1 of the query's — the sub-linear scale path next to the
+    to vectors whose 6-bit hyperplane signature is within Hamming
+    distance 2 of the query's — the sub-linear scale path next to the
     brute-force baseline (knn_cosine_topk). Rows-only; pytest checks
     recall against the exact result."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -704,6 +705,100 @@ def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
             for qi in range(len(qids_)):
                 cand = np.fromiter((int(b) in allowed_[qi] for b in vb),
                                    dtype=bool, count=len(vb))
+                if not cand.any():
+                    continue
+                Vc, vc, nc = V[cand], vids[cand], vnorm[cand]
+                s = np.round((Vc @ Q_[qi]) /
+                             (np.linalg.norm(Q_[qi]) * nc), 6)
+                idx = np.lexsort((vc, -s))[:KNN_K]
+                rows["query_id"].extend([int(qids_[qi])] * len(idx))
+                rows["neighbor_id"].extend(int(v) for v in vc[idx])
+                rows["score"].extend(float(x) for x in s[idx])
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"],
+                                                 pa.int64()),
+                         "score": pa.array(rows["score"], pa.float64())})
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True]).head(KNN_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+              .groupby("query_id")
+              .map_groups(final_topk, batch_format="pandas")
+              .to_pandas())
+
+
+_IVF_NLIST = 16          # coarse centroids; production: ~sqrt(n)
+_IVF_NPROBE = 4          # centroid lists probed per query
+_IVF_SAMPLE = 2048       # driver-side training sample (bounded)
+_IVF_ITERS = 8
+
+
+def _ivf_train(sample: np.ndarray, nlist: int, iters: int,
+               seed: int = 7) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a bounded sample (the
+    IVF coarse quantizer; at production scale the sample stays
+    driver-bounded while assignment is distributed)."""
+    rng = np.random.RandomState(seed)
+    C = sample[rng.choice(len(sample), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(nlist):
+            sel = sample[assign == c]
+            if len(sel):
+                C[c] = sel.mean(axis=0)
+    return C
+
+
+def knn_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-k cosine search — the inverted-file scale
+    path next to brute force (knn_cosine_topk) and hyperplane LSH
+    (knn_lsh_topk): a coarse k-means quantizer trained on a bounded
+    driver-side sample, vectors assigned to their nearest centroid
+    per batch (vectorized), and each query scored ONLY against vectors
+    in its nprobe closest lists. Rows-only; pytest checks recall vs
+    the exact result."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample_df = (read_table(sf_dir, "embeddings",
+                            columns=["vec_id", "embedding"],
+                            filter=(pc.field("vec_id") < _IVF_SAMPLE))
+                 .to_pandas())
+    S = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    C = _ivf_train(S, min(_IVF_NLIST, len(S)), _IVF_ITERS)
+    qdf = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                      filter=(pc.field("vec_id") < KNN_NUM_QUERIES))
+           .to_pandas().sort_values("vec_id"))
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    # nprobe nearest lists per query (tiny: nq x nlist)
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(qd2, axis=1)[:, :_IVF_NPROBE]
+    q_ref = ray.put((qids, Q, C, probe_lists))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, Q_, C_, probes_ = ray.get(q_ref)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        V = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(t), -1)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vids >= KNN_NUM_QUERIES
+        V, vids = V[keep], vids[keep]
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        if len(vids):
+            # vectorized coarse assignment of the batch
+            d2 = ((V ** 2).sum(axis=1)[:, None]
+                  - 2.0 * (V @ C_.T) + (C_ ** 2).sum(axis=1)[None, :])
+            assign = d2.argmin(axis=1)
+            vnorm = np.linalg.norm(V, axis=1)
+            for qi in range(len(qids_)):
+                cand = np.isin(assign, probes_[qi])
                 if not cand.any():
                     continue
                 Vc, vc, nc = V[cand], vids[cand], vnorm[cand]

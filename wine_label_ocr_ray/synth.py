@@ -316,6 +316,9 @@ def generate_corpus(out_dir: str, num_docs: int, seed: int = 42,
     bounds = np.linspace(0, num_docs, num_shards + 1).astype(int)
     if use_ray:
         import ray
+
+        from ._rayprep import ensure_serializable
+        ensure_serializable()  # _write_shard must ship by value
         fn = ray.remote(_write_shard)
         ray.get([fn.remote(out_dir, seed, s, int(bounds[s]), int(bounds[s + 1]))
                  for s in range(num_shards)])
