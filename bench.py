@@ -57,12 +57,16 @@ def run_bench() -> dict:
     # corpus generation is setup, not measured (cached across runs)
     generate_corpus(CORPUS_DIR, num_docs=BENCH_DOCS, seed=42, use_ray=True)
 
-    # media pool = 75% of CPUs at EVERY level: an absolute rule like
-    # num_cpus-2 gives the N and 4N legs DIFFERENT pool fractions
-    # (2-of-4 vs 14-of-16 = a 7x pool ratio) and fabricates superlinear
-    # "efficiency"; a fixed fraction keeps the pool ratio exactly 4x
+    # Plain bench: max-throughput pool (num_cpus-2). Scaling sets
+    # WLOR_POOL_FRACTION=0.75 so BOTH levels get the SAME pool
+    # fraction — an absolute rule like num_cpus-2 gives the N and 4N
+    # legs different fractions (e.g. 2-of-4 vs 14-of-16 = a 7x actor
+    # ratio) and fabricates superlinear "efficiency".
+    frac = os.environ.get("WLOR_POOL_FRACTION")
+    pool = max(2, int(num_cpus * float(frac))) if frac \
+        else max(2, num_cpus - 2)
     cfg = PipelineConfig(override_num_blocks=max(16, 4 * num_cpus),
-                         media_concurrency=max(2, (3 * num_cpus) // 4))
+                         media_concurrency=pool)
 
     # warm-up: (a) page-cache pre-read of every corpus byte (cheap
     # sequential IO; a cold read mid-timed-run costs tens of seconds),
@@ -150,7 +154,10 @@ def run_scaling() -> dict:
                    # which is what defends the RATIO against the
                    # sandbox's bursty cross-tenant contention
                    WLOR_BENCH_QUERIES="skip",
-                   WLOR_BENCH_RUNS="1")
+                   WLOR_BENCH_RUNS="1",
+                   # identical pool FRACTION at both levels (see
+                   # run_bench) so the actor ratio is exactly 4x
+                   WLOR_POOL_FRACTION="0.75")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
