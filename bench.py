@@ -163,6 +163,23 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def canary() -> float:
+        """Small fixed control job (20k-doc flagship, 32 cpus, one
+        timed run) measuring the machine's CURRENT effective speed.
+        This sandbox is shared: cross-tenant contention swings
+        unchanged-code wall clock up to 2.4x in bursts. Trials are
+        gated RETROSPECTIVELY on their adjacent canary — an
+        independent measurement of the environment, never of the
+        result — so a noisy-window trial is excluded with evidence."""
+        env = dict(os.environ, RAY_GRAFT_CPUS="32",
+                   WLOR_BENCH_DOCS="20000", WLOR_BENCH_RUNS="1",
+                   WLOR_BENCH_QUERIES="skip")
+        out = subprocess.run([sys.executable,
+                              os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])["value"]
+
     trials = int(os.environ.get("WLOR_SCALING_TRIALS", "3"))
     # N vs 4N levels. Default 4 vs 16: on this SHARED 32-core sandbox,
     # an 8-vs-32 measurement makes the 4N leg fight the (observed,
@@ -173,18 +190,41 @@ def run_scaling() -> dict:
     # WLOR_SCALING_LO / WLOR_SCALING_HI (e.g. 8 / 32 on a quiet host).
     lo = int(os.environ.get("WLOR_SCALING_LO", "4"))
     hi = int(os.environ.get("WLOR_SCALING_HI", "16"))
+    use_canary = os.environ.get("WLOR_SCALING_CANARY", "1") != "0"
+    max_attempts = int(os.environ.get("WLOR_SCALING_MAX_ATTEMPTS",
+                                      str(2 * trials)))
+
+    def valid_idx(canaries):
+        """Trial indices whose adjacent canary is within 25% of the
+        quietest canary observed (retrospective environment gate)."""
+        if not canaries:
+            return []
+        best = min(canaries)
+        return [i for i, c in enumerate(canaries) if c <= 1.25 * best]
+
     runs = {lo: [], hi: []}
-    for _ in range(trials):
+    canaries = []
+    for attempt in range(max_attempts):
+        if use_canary:
+            canaries.append(round(canary(), 3))
         for ncpu in (lo, hi):
             runs[ncpu].append(run(ncpu))
+        done = len(valid_idx(canaries)) if use_canary \
+            else len(runs[lo])
+        if done >= trials:
+            break
 
     def median(xs):
         xs = sorted(xs)
         n = len(xs)
         return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
-    secs_lo = [r["value"] for r in runs[lo]]
-    secs_hi = [r["value"] for r in runs[hi]]
+    secs_lo_all = [r["value"] for r in runs[lo]]
+    secs_hi_all = [r["value"] for r in runs[hi]]
+    vidx = valid_idx(canaries) if use_canary \
+        else list(range(len(secs_lo_all)))
+    secs_lo = [secs_lo_all[i] for i in vidx]
+    secs_hi = [secs_hi_all[i] for i in vidx]
     t_lo, t_hi = median(secs_lo), median(secs_hi)
     ratio = hi / lo
     eff = (t_lo / t_hi) / ratio
@@ -193,12 +233,15 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "trials": trials,
+        "trials": len(vidx),
+        "attempts": len(secs_lo_all),
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
-        "sec_lo_samples": secs_lo, "sec_hi_samples": secs_hi,
+        "sec_lo_samples": secs_lo_all, "sec_hi_samples": secs_hi_all,
+        "canary_samples": canaries,
+        "valid_trials": vidx,
         "eff_samples": [round((a / b) / ratio, 3)
-                        for a, b in zip(secs_lo, secs_hi)],
+                        for a, b in zip(secs_lo_all, secs_hi_all)],
         "docs_per_sec_lo": round(bench_docs / t_lo, 1),
         "docs_per_sec_hi": round(bench_docs / t_hi, 1),
         "bench_docs": bench_docs,
@@ -213,12 +256,21 @@ def _record_baseline(result: dict) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     marker = "## Measured results (bench.py --scaling)"
     lo, hi = result["cpus_lo"], result["cpus_hi"]
+    canary_note = ""
+    if result.get("canary_samples"):
+        canary_note = (
+            f"\nCanary gate: 20k-doc 32-cpu control before each trial; "
+            f"samples {result['canary_samples']} s — trials "
+            f"{result['valid_trials']} (canary within 25% of the "
+            f"quietest) are the VALID set used for the medians; "
+            f"{result['attempts']} attempts total.\n")
     block = (f"{marker}\n\n"
-             f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} interleaved trials) |\n"
+             f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} valid of {result['attempts']} interleaved trials) |\n"
              f"|---|---|---|---|\n"
-             f"| N | num_cpus={lo} | {result['docs_per_sec_lo']} | median {result['sec_lo']} of {result['sec_lo_samples']} |\n"
-             f"| 4N | num_cpus={hi} | {result['docs_per_sec_hi']} | median {result['sec_hi']} of {result['sec_hi_samples']} |\n"
-             f"| efficiency | (T_4N/T_N)/4 | **{result['value']}** (median-of-medians; per-trial {result['eff_samples']}) | target >= 0.8 |\n")
+             f"| N | num_cpus={lo} | {result['docs_per_sec_lo']} | median {result['sec_lo']} over valid trials; all samples {result['sec_lo_samples']} |\n"
+             f"| 4N | num_cpus={hi} | {result['docs_per_sec_hi']} | median {result['sec_hi']} over valid trials; all samples {result['sec_hi_samples']} |\n"
+             f"| efficiency | (T_4N/T_N)/4 | **{result['value']}** (medians over valid trials; per-trial {result['eff_samples']}) | target >= 0.8 |\n"
+             + canary_note)
     try:
         with open(path) as f:
             content = f.read()
