@@ -81,6 +81,77 @@ def test_lineage_mismatch_recomputes(ray_session, corpus, tmp_path):
     assert summary["executed"] == 4 and summary["skipped"] == 0
 
 
+@pytest.fixture(scope="module")
+def small_corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt_small") / "corpus")
+    generate_corpus(out, num_docs=80, seed=11, num_shards=2)
+    return out
+
+
+def test_regroup_purges_stale_partitions(ray_session, small_corpus,
+                                         tmp_path):
+    """Re-execution under a DIFFERENT group_size (so the same shards
+    commit under a new unit name) must purge the stale unit's part dir
+    and manifest — otherwise part=*/ globs return duplicated rows."""
+    from wine_label_ocr_ray.config import PipelineConfig
+    out = str(tmp_path / "regroup_out")
+    run_checkpointed(small_corpus, out, group_size=2)
+    assert len(committed_partitions(out)) == 1  # one 2-shard group
+
+    # config change invalidates lineage; resume regroups to 1 shard/unit
+    summary = run_checkpointed(
+        small_corpus, out, PipelineConfig(confidence_threshold=0.5),
+        group_size=1)
+    assert summary["executed"] == 2 and summary["skipped"] == 0
+
+    t = _read_sorted(out)
+    assert t.num_rows == summary["metrics"]["rows"] == 80
+    # the stale grouped unit is gone entirely
+    names = set(committed_partitions(out))
+    assert not any("__" in n for n in names) and len(names) == 2
+    assert not glob.glob(os.path.join(out, "part=*__*"))
+
+
+def test_resume_survives_deleted_input_shard(ray_session, tmp_path):
+    """A manifest listing a since-deleted input shard must be treated
+    as a lineage mismatch (partition re-executes), not crash the
+    resume scan with FileNotFoundError."""
+    corpus2 = str(tmp_path / "corpus2")
+    generate_corpus(corpus2, num_docs=80, seed=13, num_shards=2)
+    out = str(tmp_path / "del_out")
+    run_checkpointed(corpus2, out)
+
+    # regenerate the corpus under new shard names: old manifests now
+    # reference files that no longer exist
+    import shutil
+    shutil.rmtree(corpus2)
+    generate_corpus(corpus2, num_docs=80, seed=13, num_shards=1)
+    summary = run_checkpointed(corpus2, out)  # must not raise
+    assert summary["executed"] == 1 and summary["skipped"] == 0
+    assert _read_sorted(out).num_rows == 80
+
+
+def test_config_hash_default_backcompat():
+    """Manifests written before the engines/sweep_max_variants lineage
+    keys existed must keep matching under a default config: the hash
+    of a default PipelineConfig omits the new keys entirely."""
+    import hashlib
+    import json
+    from dataclasses import asdict
+    from wine_label_ocr_ray.config import PipelineConfig
+    from wine_label_ocr_ray.stages.checkpoint import (_SEMANTIC_KEYS,
+                                                      _config_hash)
+    cfg = PipelineConfig()
+    d = asdict(cfg)
+    legacy = hashlib.sha1(json.dumps(
+        {k: d[k] for k in _SEMANTIC_KEYS}, sort_keys=True,
+        default=str).encode()).hexdigest()[:12]
+    assert _config_hash(cfg) == legacy
+    # non-default engine/sweep DO change the hash
+    assert _config_hash(PipelineConfig(sweep_max_variants=10)) != legacy
+    assert _config_hash(PipelineConfig(engines="other")) != legacy
+
+
 def test_grouped_commit_equals_sequential(ray_session, corpus, tmp_path):
     """group_size=2 runs 2 shards per pipeline execution (amortized
     actor-pool ramp) with identical final rows; resume after a group
