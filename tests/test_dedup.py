@@ -128,6 +128,64 @@ def test_dedup_decision_pipeline(ray_session):
     assert (out.decision == "seen").any()
 
 
+def test_decide_distributed_equals_broadcast(ray_session):
+    """The distributed decision (cogrouped exact leg + vintage blocks +
+    replicated-probe fallback) must be row-identical to the broadcast
+    DbIndex path on inputs covering every leg: exact hits, same-vintage
+    fuzzy (+5 bonus), empty-bucket fallback, no-vintage fallback,
+    empty maker, the '|' key guard, and score ties (first-max-wins)."""
+    import ray.data
+    from wine_label_ocr_ray.stages.dedup import (decide_against_db,
+                                                 decide_distributed)
+
+    db_rows = [
+        {"doc_id": "d00", "maker_norm": "OPUS ONE", "vintage_str": "2019"},
+        {"doc_id": "d01", "maker_norm": "OPUS ONE", "vintage_str": "2019"},
+        {"doc_id": "d02", "maker_norm": "SILVER OAK CELLARS",
+         "vintage_str": "2018"},
+        {"doc_id": "d03", "maker_norm": "CAYMUS", "vintage_str": None},
+        {"doc_id": "d04", "maker_norm": "", "vintage_str": None},
+        {"doc_id": "d05", "maker_norm": "PENFOLDS GRANGE",
+         "vintage_str": "2015"},
+        {"doc_id": "d06", "maker_norm": "OPUS ONE", "vintage_str": "2017"},
+    ]
+    for r in db_rows:
+        r["key"] = f"{r['maker_norm']}|{r['vintage_str'] or ''}"
+        r["record_id"] = "id_" + r["doc_id"]
+    probes = [
+        {"doc_id": "p00", "maker_norm": "OPUS ONE",
+         "vintage_str": "2019"},                     # exact hit (first=d00)
+        {"doc_id": "p01", "maker_norm": "OPUS ONE WINERY",
+         "vintage_str": "2019"},                     # fuzzy same-vintage
+        {"doc_id": "p02", "maker_norm": "SILVER OAK",
+         "vintage_str": "1999"},                     # empty bucket -> full DB
+        {"doc_id": "p03", "maker_norm": "CAYMUS",
+         "vintage_str": None},                       # no vintage -> full DB
+        {"doc_id": "p04", "maker_norm": "", "vintage_str": None},  # '|' key
+        {"doc_id": "p05", "maker_norm": "ZZZZ QQQQ",
+         "vintage_str": "2018"},                     # below threshold
+        {"doc_id": "p06", "maker_norm": "OPUS ONE",
+         "vintage_str": "2016"},                     # empty bucket, exact
+                                                     # maker tie d00/d01/d06
+    ]
+    db_ds = ray.data.from_items(db_rows)
+    probe_ds = ray.data.from_items(probes)
+    dist = (decide_distributed(probe_ds, db_ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    db = [{"maker_norm": r["maker_norm"], "vintage": r["vintage_str"],
+           "key": r["key"], "id": r["record_id"]} for r in db_rows]
+    bcast = (decide_against_db(ray.data.from_items(probes), db)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    cols = ["doc_id", "decision", "score", "match_id", "reason"]
+    pd.testing.assert_frame_equal(dist[cols], bcast[cols])
+    # empty DB short-circuit
+    empty = ray.data.from_items(db_rows).filter(lambda r: False)
+    out = (decide_distributed(probe_ds, empty).to_pandas()
+           .sort_values("doc_id"))
+    assert (out.decision == "not seen").all() and (out.score == 0).all()
+    assert (out.reason == "db empty").all()
+
+
 def test_blob_near_dup_pipeline(ray_session):
     from wine_label_ocr_ray.pipelines.queries import QUERIES
     out = QUERIES["blob_near_dup"]("/root/testdata/sf0.001")

@@ -102,8 +102,14 @@ def partial_ratio(a: str, b: str) -> float:
 def token_set_ratio(a: str, b: str) -> float:
     """Public token-set algebra: dedup+sort tokens, compare
     sect vs sect+diff_ab vs sect+diff_ba, take the max InDel ratio."""
-    tokens_a = set(a.split())
-    tokens_b = set(b.split())
+    return token_set_ratio_sets(set(a.split()), set(b.split()))
+
+
+def token_set_ratio_sets(tokens_a: Set[str], tokens_b: Set[str]) -> float:
+    """``token_set_ratio`` over pre-split token sets — the ratio depends
+    only on the token sets, so callers scoring one side against many
+    candidates (dedup probes vs a DB block) tokenize each side ONCE
+    instead of re-splitting the same strings per comparison."""
     if not tokens_a or not tokens_b:
         # rapidfuzz/fuzzywuzzy guard: empty side scores 0 (prevents empty
         # maker_norm records from fuzzy-matching everything in dedup).

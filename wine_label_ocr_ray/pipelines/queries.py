@@ -33,13 +33,15 @@ def flagship_extract(sf_dir: str):
 
 def dedup_decision(sf_dir: str) -> pd.DataFrame:
     """Scan-and-store decision pipeline (reference J1/J2): first half
-    of the flagship records (by doc_id) forms the committed DB
-    (broadcast), the second half is probed — exact key, then
-    vintage-blocked token_set_ratio fuzzy argmax (threshold 85)."""
+    of the flagship records (by doc_id) forms the committed DB, the
+    second half is probed — exact key, then vintage-blocked
+    token_set_ratio fuzzy argmax (threshold 85). Both sides stay
+    Datasets end to end (``decide_distributed``): the DB is cogrouped
+    with the probes per leg, never ``take_all()``'d or broadcast."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..stages.dedup import decide_against_db
+    from ..stages.dedup import decide_distributed
 
     def project(t):
         t = t.filter(pc.equal(t["valid"], True))
@@ -59,15 +61,9 @@ def dedup_decision(sf_dir: str) -> pd.DataFrame:
             .sort("doc_id").materialize())
     half = recs.count() // 2
     db_ds, probe_ds = recs.split_at_indices([half])
-    # only the DB half's 4 small columns reach the driver (the broadcast
-    # side); probes stay a streamed Dataset end to end
-    db = [{"maker_norm": r["maker_norm"], "vintage": r["vintage_str"],
-           "key": r["key"], "id": r["record_id"]}
-          for r in db_ds.select_columns(
-              ["maker_norm", "vintage_str", "key", "record_id"]).take_all()]
     probe_ds = probe_ds.select_columns(["doc_id", "maker_norm",
                                         "vintage_str"])
-    out = decide_against_db(probe_ds, db).to_pandas()
+    out = decide_distributed(probe_ds, db_ds).to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     return out[["doc_id", "decision", "score", "match_id", "reason"]]
 

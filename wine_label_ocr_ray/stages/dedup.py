@@ -69,36 +69,43 @@ class DbIndex:
     """
 
     def __init__(self, db: List[Dict]):
-        self.db = db
+        # (item, token_set) pairs in DB order: each DB maker_norm is
+        # tokenized ONCE here instead of inside token_set_ratio on
+        # every probe (round-2 verdict: per-probe re-tokenization was
+        # the dominant constant factor of the fuzzy leg).
+        self.items = [(it, frozenset((it.get("maker_norm") or "").split()))
+                      for it in db]
         self.by_key: Dict[str, Dict] = {}
-        self.by_vintage: Dict[str, List[Dict]] = {}
-        for it in db:
+        self.by_vintage: Dict[str, List] = {}
+        for pair in self.items:
+            it = pair[0]
             k = it.get("key")
             if k is not None and k not in self.by_key:
                 self.by_key[k] = it
             v = it.get("vintage")
             if v is not None:
-                self.by_vintage.setdefault(v, []).append(it)
+                self.by_vintage.setdefault(v, []).append(pair)
 
     def best(self, maker_norm: str, vintage: Optional[str],
              maker_threshold: int = 85):
-        if not self.db:
+        if not self.items:
             return "not seen", None, 0, "db empty"
         key = f"{maker_norm}|{vintage or ''}"
         if key != "|":
             hit = self.by_key.get(key)
             if hit is not None:
                 return "seen", hit, 100, "exact canonical key match"
-        cands = self.db
+        cands = self.items
         bonus_all = False
         if vintage:
             bucket = self.by_vintage.get(vintage)
             if bucket:
                 cands = bucket
                 bonus_all = True
+        probe_tokens = set((maker_norm or "").split())
         best_item, best_score = None, -1
-        for it in cands:
-            score = F.token_set_ratio(maker_norm, it.get("maker_norm", ""))
+        for it, toks in cands:
+            score = F.token_set_ratio_sets(probe_tokens, toks)
             if bonus_all or (vintage and it.get("vintage") == vintage):
                 score = min(100, score + 5)
             if score > best_score:
@@ -152,6 +159,316 @@ def decide_against_db(records_ds, db_records: List[Dict], *,
         fn_constructor_kwargs=dict(db_ref=db_ref,
                                    maker_threshold=maker_threshold),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+_DECISION_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("decision", pa.string()),
+    ("score", pa.int64()), ("match_id", pa.string()),
+    ("reason", pa.string())])
+
+# exact-leg cogroup carrier: probes pass through with their match (or
+# none); schema shared by both union sides so blocks concatenate
+_EXACT_SCHEMA = pa.schema([
+    ("role", pa.string()), ("doc_id", pa.string()),
+    ("maker_norm", pa.string()), ("vintage_str", pa.string()),
+    ("key", pa.string()), ("record_id", pa.string()),
+    ("kb", pa.int32())])
+
+_FALLBACK_PARTIAL_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("score", pa.float64()),
+    ("db_doc", pa.string()), ("match_id", pa.string())])
+
+
+def _hash_mod(ids: pa.ChunkedArray, mod: int) -> pa.Array:
+    """Vectorized deterministic hash(col) % mod (same polars-seeded
+    hash as reassemble.add_bucket; crc32 fallback)."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    try:
+        import polars as pl
+        h = pl.from_arrow(ids).hash(seed=42).to_numpy()
+        return pa.array((h % mod).astype("int32"), pa.int32())
+    except ImportError:
+        import zlib
+        return pa.array([zlib.crc32(str(d).encode()) % mod
+                         for d in ids.to_pylist()], pa.int32())
+
+
+def _tok_sets(makers) -> List[frozenset]:
+    return [frozenset((m or "").split()) for m in makers]
+
+
+def _exact_cogroup(df: pd.DataFrame) -> pa.Table:
+    """One key-hash bucket: resolve probes against the FIRST (min
+    db doc_id) DB record per exact key; matched probes carry their
+    match_id, unmatched pass through for the fuzzy legs."""
+    d = df[df["role"] == "d"]
+    p = df[df["role"] == "p"]
+    if len(d):
+        first = (d.sort_values(["key", "doc_id"])
+                  .drop_duplicates("key")[["key", "record_id"]])
+        merged = p.drop(columns=["record_id"]).merge(
+            first, on="key", how="left")
+    else:
+        merged = p.copy()
+        merged["record_id"] = None
+    return pa.Table.from_pandas(
+        merged[[c.name for c in _EXACT_SCHEMA]], schema=_EXACT_SCHEMA,
+        preserve_index=False).replace_schema_metadata(None)
+
+
+def _fuzzy_block(df: pd.DataFrame, *, maker_threshold: int) -> pa.Table:
+    """One vintage block (probe vintage bucket NON-empty): argmax of
+    token_set_ratio + 5 (capped at 100, ``bonus_all``) over the block's
+    DB records in DB order (ascending doc_id; strict > keeps the
+    first max, matching ``DbIndex.best``)."""
+    d = df[df["role"] == "d"].sort_values("doc_id")
+    p = df[df["role"] == "p"]
+    out = {k: [] for k in ("doc_id", "decision", "score", "match_id",
+                           "reason")}
+    dtoks = _tok_sets(d["maker_norm"].tolist())
+    dids = d["record_id"].tolist()
+    for pdoc, pmaker in zip(p["doc_id"], p["maker_norm"]):
+        ptoks = set((pmaker or "").split())
+        best_score, best_id = -1.0, None
+        for toks, rid in zip(dtoks, dids):
+            s = min(100, F.token_set_ratio_sets(ptoks, toks) + 5)
+            if s > best_score:
+                best_score, best_id = s, rid
+        seen = best_score >= maker_threshold and best_id is not None
+        out["doc_id"].append(pdoc)
+        out["decision"].append("seen" if seen else "not seen")
+        out["score"].append(int(best_score))
+        out["match_id"].append(best_id)
+        out["reason"].append(f"fuzzy maker match >= {maker_threshold}"
+                             if seen else "no sufficient match")
+    return pa.Table.from_pydict(out, schema=_DECISION_SCHEMA)
+
+
+def _fallback_partial(df: pd.DataFrame) -> pa.Table:
+    """One DB partition: per-probe partial argmax (NO vintage bonus —
+    fallback probes have no vintage, or a vintage absent from the DB,
+    so ``DbIndex.best``'s bonus can never fire). Emits the partition's
+    best (score, db_doc, match_id) per probe."""
+    d = df[df["role"] == "d"].sort_values("doc_id")
+    p = df[df["role"] == "p"]
+    out = {k: [] for k in ("doc_id", "score", "db_doc", "match_id")}
+    if len(d):
+        dtoks = _tok_sets(d["maker_norm"].tolist())
+        dids = d["record_id"].tolist()
+        ddocs = d["doc_id"].tolist()
+        for pdoc, pmaker in zip(p["doc_id"], p["maker_norm"]):
+            ptoks = set((pmaker or "").split())
+            best_score, best_i = -1.0, -1
+            for i, toks in enumerate(dtoks):
+                s = F.token_set_ratio_sets(ptoks, toks)
+                if s > best_score:
+                    best_score, best_i = s, i
+            out["doc_id"].append(pdoc)
+            out["score"].append(float(best_score))
+            out["db_doc"].append(ddocs[best_i])
+            out["match_id"].append(dids[best_i])
+    return pa.Table.from_pydict(out, schema=_FALLBACK_PARTIAL_SCHEMA)
+
+
+def decide_distributed(probe_ds, db_ds, *, maker_threshold: int = 85,
+                       num_buckets: int = 64,
+                       db_rows_per_part: int = 2048):
+    """Scale-safe ``best_match`` over probe and DB Datasets — the DB is
+    never ``take_all()``'d to the driver or broadcast (round-2 verdict:
+    the broadcast side was O(n)). Semantics are byte-identical to
+    ``DedupDecide``/``DbIndex`` (pytest-asserted), with DB order =
+    ascending ``doc_id`` expressed as min-doc_id tiebreaks:
+
+    - exact leg (J1): key-hash-bucketed cogroup; first-occurrence =
+      min db doc_id per key.
+    - fuzzy vintage leg (J2): probes whose vintage EXISTS in the DB
+      cogroup with their vintage block (vintage is a year string —
+      bounded cardinality — so the block groupby is a narrow shuffle;
+      the per-block pairwise scoring is the reference's own O(|block|)
+      algorithm).
+    - fuzzy fallback: probes with no vintage / an unseen vintage must
+      scan the whole DB (reference semantics). Each probe is
+      replicated to every DB hash-partition, partitions emit partial
+      argmaxes, and a bucketed combine takes max score with min-db-doc
+      tiebreak — no partition ever holds the whole DB.
+
+    probe_ds columns: (doc_id, maker_norm, vintage_str);
+    db_ds columns: (doc_id, maker_norm, vintage_str, key, record_id).
+    Returns a decisions Dataset with ``_DECISION_SCHEMA``.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    db_count = db_ds.count()
+    if db_count == 0:
+        def empty_dec(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.Table.from_pydict(
+                {"doc_id": t["doc_id"],
+                 "decision": pa.array(["not seen"] * n, pa.string()),
+                 "score": pa.array([0] * n, pa.int64()),
+                 "match_id": pa.array([None] * n, pa.string()),
+                 "reason": pa.array(["db empty"] * n, pa.string())},
+                schema=_DECISION_SCHEMA)
+        return probe_ds.map_batches(empty_dec, batch_format="pyarrow")
+
+    # --- exact leg: bucketed cogroup on key -------------------------
+    def tag(role: str, with_kb: bool):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                "role": pa.array([role] * n, pa.string()),
+                "doc_id": t["doc_id"].cast(pa.string()),
+                "maker_norm": t["maker_norm"].cast(pa.string()),
+                "vintage_str": t["vintage_str"].cast(pa.string()),
+                "key": t["key"].cast(pa.string()) if "key" in
+                t.schema.names else pa.nulls(n, pa.string()),
+                "record_id": t["record_id"].cast(pa.string()) if
+                "record_id" in t.schema.names else pa.nulls(n, pa.string()),
+            }
+            tt = pa.Table.from_pydict(
+                cols, schema=pa.schema(list(_EXACT_SCHEMA)[:-1]))
+            return tt.append_column("kb", _hash_mod(tt["key"],
+                                                    num_buckets))
+        return f
+
+    db_exact = db_ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["key"], "|"))),
+        batch_format="pyarrow").map_batches(tag("d", True),
+                                            batch_format="pyarrow")
+    probes_tagged = probe_ds.map_batches(
+        lambda t: t.append_column(
+            "key", pc.binary_join_element_wise(
+                pc.cast(t["maker_norm"], pa.string()),
+                pc.coalesce(pc.cast(t["vintage_str"], pa.string()), ""),
+                "|")),
+        batch_format="pyarrow").map_batches(tag("p", True),
+                                            batch_format="pyarrow")
+
+    # three downstream branches (exact hits / blocked / fallback) read
+    # this; materializing the slim 7-scalar-column table (same O(n)
+    # footprint class as the caller's projected recs) runs the
+    # key-bucket shuffle ONCE instead of once per branch
+    resolved = (probes_tagged.union(db_exact)
+                .groupby("kb")
+                .map_groups(_exact_cogroup, batch_format="pandas")
+                .materialize())
+
+    exact_hits = resolved.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": (m := t.filter(pc.and_(
+                pc.is_valid(t["record_id"]),
+                pc.invert(pc.equal(t["key"], "|")))))["doc_id"],
+             "decision": pa.array(["seen"] * m.num_rows, pa.string()),
+             "score": pa.array([100] * m.num_rows, pa.int64()),
+             "match_id": m["record_id"],
+             "reason": pa.array(["exact canonical key match"] *
+                                m.num_rows, pa.string())},
+            schema=_DECISION_SCHEMA),
+        batch_format="pyarrow")
+    unmatched = resolved.map_batches(
+        lambda t: t.filter(pc.or_(pc.is_null(t["record_id"]),
+                                  pc.equal(t["key"], "|")))
+        .select(["doc_id", "maker_norm", "vintage_str"]),
+        batch_format="pyarrow")
+
+    # --- split unmatched probes by whether their vintage bucket is
+    # non-empty in the DB (distinct vintages are years: the collected
+    # set is bounded ~200 values, a scale-safe driver broadcast) -----
+    db_vintages = sorted(
+        r["vintage_str"] for r in
+        db_ds.map_batches(lambda t: t.filter(
+            pc.is_valid(t["vintage_str"])), batch_format="pyarrow")
+        .groupby("vintage_str").aggregate(Count()).take_all())
+    vset = pa.array(db_vintages, pa.string())
+
+    def in_db_vintage(t: pa.Table, invert: bool) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t["vintage_str"]),
+                       pc.is_in(t["vintage_str"], value_set=vset))
+        return t.filter(pc.invert(mask) if invert else mask)
+
+    blocked_probes = unmatched.map_batches(
+        functools.partial(in_db_vintage, invert=False),
+        batch_format="pyarrow")
+    fallback_probes = unmatched.map_batches(
+        functools.partial(in_db_vintage, invert=True),
+        batch_format="pyarrow")
+
+    # --- fuzzy vintage leg ------------------------------------------
+    def tag_slim(role: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "role": pa.array([role] * n, pa.string()),
+                "doc_id": t["doc_id"].cast(pa.string()),
+                "maker_norm": t["maker_norm"].cast(pa.string()),
+                "vintage_str": t["vintage_str"].cast(pa.string()),
+                "record_id": t["record_id"].cast(pa.string()) if
+                "record_id" in t.schema.names else pa.nulls(n, pa.string()),
+            })
+        return f
+
+    db_vint = db_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["vintage_str"])),
+        batch_format="pyarrow").map_batches(tag_slim("d"),
+                                            batch_format="pyarrow")
+    blocked_dec = (blocked_probes.map_batches(tag_slim("p"),
+                                              batch_format="pyarrow")
+                   .union(db_vint)
+                   .groupby("vintage_str")
+                   .map_groups(functools.partial(
+                       _fuzzy_block, maker_threshold=maker_threshold),
+                       batch_format="pandas"))
+
+    # --- fuzzy fallback: probe replicated to every DB partition -----
+    nparts = max(1, min(32, db_count // db_rows_per_part + 1))
+
+    def assign_part(t: pa.Table) -> pa.Table:
+        return t.append_column("part", _hash_mod(t["doc_id"], nparts))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(t.num_rows), nparts)
+        rep = t.take(pa.array(idx, pa.int64()))
+        return rep.append_column("part", pa.array(
+            np.tile(np.arange(nparts, dtype=np.int32), t.num_rows),
+            pa.int32()))
+
+    db_parts = db_ds.map_batches(tag_slim("d"), batch_format="pyarrow") \
+        .map_batches(assign_part, batch_format="pyarrow")
+    partials = (fallback_probes.map_batches(tag_slim("p"),
+                                            batch_format="pyarrow")
+                .map_batches(replicate, batch_format="pyarrow")
+                .union(db_parts)
+                .groupby("part")
+                .map_groups(_fallback_partial, batch_format="pandas"))
+
+    def _fallback_combine(df: pd.DataFrame) -> pa.Table:
+        best = (df.sort_values(["doc_id", "score", "db_doc"],
+                               ascending=[True, False, True])
+                  .drop_duplicates("doc_id"))
+        seen = best["score"] >= maker_threshold
+        return pa.Table.from_pydict(
+            {"doc_id": best["doc_id"].tolist(),
+             "decision": np.where(seen, "seen", "not seen").tolist(),
+             "score": best["score"].astype("int64").tolist(),
+             "match_id": best["match_id"].tolist(),
+             "reason": np.where(
+                 seen, f"fuzzy maker match >= {maker_threshold}",
+                 "no sufficient match").tolist()},
+            schema=_DECISION_SCHEMA)
+
+    fallback_dec = (partials.map_batches(
+        lambda t: t.append_column("fb", _hash_mod(t["doc_id"],
+                                                  num_buckets)),
+        batch_format="pyarrow")
+        .groupby("fb")
+        .map_groups(_fallback_combine, batch_format="pandas"))
+
+    return exact_hits.union(blocked_dec).union(fallback_dec)
 
 
 def blob_pairs_in_block(g: pd.DataFrame, *, threshold: float,

@@ -62,15 +62,23 @@ class StitchPairs:
             "checksum": pa.array(sums, pa.string())})
 
 
-def _pair_first_two(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("offset")
-    if len(g) < 2:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="object"),
-                             "ref_a": pd.Series([], dtype="object"),
-                             "ref_b": pd.Series([], dtype="object")})
-    return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]],
-                         "ref_a": [g["media_ref"].iloc[0]],
-                         "ref_b": [g["media_ref"].iloc[1]]})
+_STITCH_BUCKETS = 64
+
+
+def _pair_first_two_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Pair selection for EVERY doc in one doc-id-hash bucket (the
+    same amortization as the flagship's ``assemble_bucket`` — a
+    per-doc ``map_groups`` pays ~200 µs of group overhead per
+    document; bucketing makes the group count a constant 64,
+    independent of corpus size). Vectorized: rank spans per doc by
+    offset, inner-join rank-0 with rank-1 (drops <2-media docs)."""
+    g = g.sort_values(["doc_id", "offset"], kind="stable")
+    rank = g.groupby("doc_id", sort=False).cumcount()
+    firsts = g.loc[rank == 0, ["doc_id", "media_ref"]].rename(
+        columns={"media_ref": "ref_a"})
+    seconds = g.loc[rank == 1, ["doc_id", "media_ref"]].rename(
+        columns={"media_ref": "ref_b"})
+    return firsts.merge(seconds, on="doc_id", how="inner")
 
 
 def build_stitch_pipeline(corpus_dir: str,
@@ -93,9 +101,17 @@ def build_stitch_pipeline(corpus_dir: str,
         rows = rows.filter(pc.equal(rows["kind"], "media"))
         return rows.select(["doc_id", "offset", "media_ref"])
 
+    import functools
+
+    from .reassemble import add_bucket
+
     pairs = (docs.map_batches(media_refs, batch_format="pyarrow")
-                 .groupby("doc_id")
-                 .map_groups(_pair_first_two, batch_format="pandas"))
+                 .map_batches(functools.partial(
+                     add_bucket, num_buckets=_STITCH_BUCKETS),
+                     batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(_pair_first_two_bucket,
+                             batch_format="pandas"))
 
     total_cpus = int(ray.cluster_resources().get("CPU", 4)) \
         if ray.is_initialized() else 4
