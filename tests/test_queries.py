@@ -86,6 +86,16 @@ def test_minhash_subset_of_exact(ray_session):
     assert high <= approx_pairs
 
 
+def test_minhash_semijoin_prune_equals_isin(ray_session):
+    """The distributed semi-join verify prune (taken when the candidate
+    id set exceeds isin_prune_max) must produce exactly the same pairs
+    as the pushed-down isin predicate path."""
+    from wine_label_ocr_ray.pipelines import queries_docs as D
+    via_isin = D.minhash_lsh_pairs(TESTDATA)
+    via_join = D.minhash_lsh_pairs(TESTDATA, isin_prune_max=0)
+    pd.testing.assert_frame_equal(via_isin, via_join)
+
+
 def test_flagship_extract_smoke(ray_session):
     from wine_label_ocr_ray.pipelines.queries import QUERIES
     out = QUERIES["flagship_extract"]("/root/testdata/sf0.001")

@@ -147,3 +147,46 @@ def test_window_range_boundary_inclusive(ray_session, tmp_path):
         "event_id").reset_index(drop=True)
     assert got.value_range.tolist() == exp.value_range.tolist() == \
         [0.0, 4.0, 3.0]
+
+
+def test_read_documents_lance_dispatch(ray_session, monkeypatch, tmp_path):
+    """The guarded Lance branch in read_documents must actually
+    dispatch (path + column pruning forwarded, schema identical to the
+    parquet read) — exercised via a fake ray.data.read_lance since the
+    lance wheel is absent in this environment."""
+    import ray.data
+
+    from wine_label_ocr_ray.sources import documents as docs_mod
+    from wine_label_ocr_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, num_docs=20, seed=3, num_shards=1)
+    pq_ds = docs_mod.read_documents(corpus, columns=["doc_id", "spans"])
+
+    calls = {}
+
+    def fake_read_lance(path, *, columns=None, **kw):
+        calls["path"] = path
+        calls["columns"] = columns
+        return pq_ds
+
+    monkeypatch.setattr(docs_mod, "_has_lance", lambda: True)
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance,
+                        raising=False)
+    out = docs_mod.read_documents("/fake/table.lance",
+                                  columns=["doc_id", "spans"])
+    assert calls["path"] == "/fake/table.lance"
+    assert calls["columns"] == ["doc_id", "spans"]
+    assert out.schema() == pq_ds.schema()
+
+    # without lance importable, a .lance path must NOT hit read_lance
+    monkeypatch.setattr(docs_mod, "_has_lance", lambda: False)
+    calls.clear()
+    try:
+        docs_mod.read_documents("/fake/table.lance")
+    except Exception:
+        pass  # parquet reader rejects the fake path; dispatch is the point
+    assert "path" not in calls
+
+    # parquet branch still resolves the corpus documents/ subdir
+    assert docs_mod.read_documents(corpus).count() == 20

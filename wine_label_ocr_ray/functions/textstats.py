@@ -185,6 +185,86 @@ def minhash_bands(sig: np.ndarray, num_bands: int = 32) -> List[int]:
     return out
 
 
+def stable_hashes64(tokens: List[str]) -> np.ndarray:
+    """``_stable_hash64`` over a flat token list -> uint64 array (one
+    hashlib call per token — blake2b itself is C; the point is that
+    callers hash a whole BATCH's tokens in one pass and feed the
+    batched numpy kernels below)."""
+    return np.fromiter((_stable_hash64(t) for t in tokens),
+                       dtype=np.uint64, count=len(tokens))
+
+
+def minhash_signatures_batch(flat_hashes: np.ndarray,
+                             offsets: np.ndarray,
+                             num_perms: int = 128) -> np.ndarray:
+    """MinHash signatures for MANY documents in one numpy pass:
+    ``flat_hashes`` is the concatenation of every doc's shingle hashes,
+    ``offsets`` (len = ndocs+1) the doc boundaries. Row i is exactly
+    ``minhash_signature(doc_i_shingles)`` — the (a*x+b) mod p matrix is
+    computed once for the whole batch and per-doc minima taken with
+    ``np.minimum.reduceat``, replacing the per-document Python loop
+    that was the most expensive bench query's hot spot (round-2
+    verdict #6)."""
+    ndocs = len(offsets) - 1
+    out = np.full((ndocs, num_perms), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    if len(flat_hashes) == 0 or ndocs == 0:
+        return out
+    x = (flat_hashes & np.uint64(0xFFFFFFFF)) ^ \
+        (flat_hashes >> np.uint64(32))
+    vals = (_MINHASH_A[:num_perms, None] * x[None, :] +
+            _MINHASH_B[:num_perms, None]) % _MINHASH_P
+    nonempty = offsets[:-1] < offsets[1:]
+    # reduceat over nonempty docs only: consecutive starts are then the
+    # true doc boundaries (empty docs contribute no elements and keep
+    # their all-MAX rows)
+    starts = np.asarray(offsets[:-1][nonempty], dtype=np.intp)
+    mins = np.minimum.reduceat(vals, starts, axis=1)
+    out[nonempty] = mins.T
+    return out
+
+
+def band_buckets_mix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(ndocs, num_bands) uint64 LSH bucket ids via a vectorized
+    splitmix-style multiply-xor fold of each band's signature chunk.
+    GROUPING-INTERNAL ONLY (bucket ids never reach query output):
+    equal chunks always collide, unequal chunks collide with ~2^-64
+    probability — same contract as the blake2b banding in
+    ``minhash_bands``, minus the per-doc-per-band hashlib calls."""
+    ndocs, P = sigs.shape
+    rows = P // num_bands
+    chunks = sigs.reshape(ndocs, num_bands, rows)
+    h = (np.arange(1, num_bands + 1, dtype=np.uint64) *
+         np.uint64(0x9E3779B97F4A7C15))[None, :].repeat(ndocs, axis=0)
+    for r in range(rows):
+        h = h ^ chunks[:, :, r]
+        h = h * np.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> np.uint64(27))
+    return h
+
+
+def simhash64_batch(flat_hashes: np.ndarray,
+                    offsets: np.ndarray) -> np.ndarray:
+    """SimHash for many documents in one pass: per-doc bit-sign sums
+    via ``np.add.reduceat``. Element i equals
+    ``simhash64(doc_i_tokens)`` exactly (empty doc -> 0)."""
+    ndocs = len(offsets) - 1
+    out = np.zeros(ndocs, dtype=np.uint64)
+    if len(flat_hashes) == 0 or ndocs == 0:
+        return out
+    bits = ((flat_hashes[:, None] >>
+             np.arange(64, dtype=np.uint64)[None, :]) &
+            np.uint64(1)).astype(np.int32)
+    signs = 2 * bits - 1
+    nonempty = offsets[:-1] < offsets[1:]
+    starts = np.asarray(offsets[:-1][nonempty], dtype=np.intp)
+    acc = np.add.reduceat(signs, starts, axis=0)
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=1,
+                         bitorder="little").view(np.uint64).ravel()
+    out[nonempty] = packed
+    return out
+
+
 def simhash64(tokens: Iterable[str]) -> int:
     """64-bit SimHash over token stable-hashes (unweighted), vectorized
     across tokens."""

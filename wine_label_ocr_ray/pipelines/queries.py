@@ -213,6 +213,7 @@ ORACLE_SQL = {
     "events_asof_click": R.EVENTS_ASOF_SQL,
     "events_sliding": R.EVENTS_SLIDING_SQL,
     "events_window_range": R.EVENTS_WINDOW_RANGE_SQL,
+    "events_ema": R.EVENTS_EMA_SQL,
     "doc_stats": D.DOC_STATS_SQL,
     "doc_quality": D.DOC_QUALITY_SQL,
     "doc_lang_id": D.DOC_LANG_ID_SQL,

@@ -573,28 +573,41 @@ def _bucket_pairs(g: pd.DataFrame, id_col: str = "doc_id",
     return pd.DataFrame(cols)
 
 
-def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
+def minhash_lsh_pairs(sf_dir: str, *,
+                      isin_prune_max: int = 100_000) -> pd.DataFrame:
     """MinHash(128)+LSH(16 bands) candidate pairs, verified by exact
     Jaccard >= 0.2 — the sub-quadratic near-dup path. No SQL oracle
     (sketch-based); ngram_jaccard_pairs is the exact baseline and the
-    pytest suite asserts this query's pairs are a subset of it."""
+    pytest suite asserts this query's pairs are a subset of it.
+    ``isin_prune_max`` bounds the driver-side candidate-id predicate;
+    above it the verify prune runs as a distributed semi-join."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     NUM_PERMS, NUM_BANDS = 128, 16
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band": [], "bucket": []}
-        for doc_id, text in zip(df["doc_id"], df["text"]):
+        # batched sketch: one flat shingle-hash pass + one numpy
+        # signature/banding computation for the WHOLE batch (identical
+        # signatures to per-doc minhash_signature; bucket ids are
+        # grouping-internal, see band_buckets_mix)
+        sh_lists = []
+        for text in df["text"]:
             toks = text.lower().strip().split()
             if len(toks) <= 3:
-                sh = {" ".join(toks)}
+                sh_lists.append([" ".join(toks)])
             else:
-                sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
-            sig = TS.minhash_signature(sh, num_perms=NUM_PERMS)
-            for band, bucket in enumerate(TS.minhash_bands(sig, NUM_BANDS)):
-                rows["doc_id"].append(doc_id)
-                rows["band"].append(band)
-                rows["bucket"].append(np.int64(bucket - (1 << 63)))
-        return pd.DataFrame(rows)
+                sh_lists.append(sorted(
+                    {" ".join(toks[i:i + 3])
+                     for i in range(len(toks) - 2)}))
+        offsets = np.zeros(len(sh_lists) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in sh_lists], out=offsets[1:])
+        hashes = TS.stable_hashes64([s for sh in sh_lists for s in sh])
+        sigs = TS.minhash_signatures_batch(hashes, offsets, NUM_PERMS)
+        buckets = TS.band_buckets_mix(sigs, NUM_BANDS)
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
+            "band": np.tile(np.arange(NUM_BANDS, dtype=np.int64),
+                            len(sh_lists)),
+            "bucket": buckets.reshape(-1).view(np.int64)})
 
     from ._qutil import join_partitions
     cand = (ds.map_batches(sig_rows, batch_format="pandas")
@@ -613,18 +626,38 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     # distributed verify: join candidates against the shingle dataset
     # on each side; the per-pair matching-shingle count IS the exact
     # intersection size (no driver-side text fetch, no per-pair
-    # Python). Only candidate DOC IDS (a small key set, not texts)
-    # touch the driver — they become the pushed-down read predicate
-    # that prunes the shingle explode to candidate docs only.
-    needed = sorted({int(v) for col in ("doc_a", "doc_b")
-                     for v in cand.select_columns([col]).unique(col)})
-    if not needed:
+    # Python). Pruning the shingle explode to candidate docs is
+    # threshold-gated: a SMALL candidate set becomes a pushed-down
+    # isin read predicate (row-group pruning at the scan — the fastest
+    # form, bounded driver footprint); a LARGE one stays distributed
+    # as a semi-join against the candidate-id Dataset, so no
+    # multi-million-value predicate is ever built on the driver
+    # (round-2 verdict #7).
+    npairs = cand.count()
+    if npairs == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    sh = (read_table(sf_dir, "documents", columns=["doc_id", "text"],
-                     filter=pc.field("doc_id").isin(needed))
-          .map_batches(_shingle_rows, batch_format="pandas")
+    if 2 * npairs <= isin_prune_max:
+        needed = sorted({int(v) for col in ("doc_a", "doc_b")
+                         for v in cand.select_columns([col]).unique(col)})
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                          filter=pc.field("doc_id").isin(needed))
+    else:
+        ids = (cand.map_batches(
+                   lambda t: pa.table({"doc_id": pa.concat_arrays(
+                       [pc.cast(t["doc_a"], pa.int64()).combine_chunks(),
+                        pc.cast(t["doc_b"], pa.int64()).combine_chunks()]
+                   )}), batch_format="pyarrow")
+               .groupby("doc_id").aggregate(Count(alias_name="_n")))
+        docs = (read_table(sf_dir, "documents",
+                           columns=["doc_id", "text"])
+                .join(ids, join_type="inner",
+                      num_partitions=max(2, min(join_partitions(),
+                                                npairs // 50000 + 2)),
+                      on=("doc_id",))
+                .drop_columns(["_n"]))
+    sh = (docs.map_batches(_shingle_rows, batch_format="pandas")
           .materialize())
     sh_a = sh.map_batches(lambda t: t.rename_columns(
         ["doc_a", "shingle", "na"]), batch_format="pyarrow")
@@ -678,14 +711,17 @@ def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qids = qdf["vec_id"].to_numpy()
     qb = _lsh_bucket(Q)
-    # allowed buckets per query: exact + hamming-1 neighborhood
-    allowed = []
-    for b in qb:
+    # allowed buckets per query (exact + hamming<=2 neighborhood) as a
+    # dense (nq, 2^bits) boolean table: membership per batch is then a
+    # single fancy-index ``allowed[qi, vb]`` instead of a per-query
+    # Python np.fromiter scan (round-2 verdict #10)
+    allowed = np.zeros((len(qids), 1 << _LSH_NBITS), dtype=bool)
+    for qi, b in enumerate(qb):
         near = {int(b)}
         near |= {int(b) ^ (1 << i) for i in range(_LSH_NBITS)}
         near |= {int(b) ^ (1 << i) ^ (1 << j)
                  for i in range(_LSH_NBITS) for j in range(i + 1, _LSH_NBITS)}
-        allowed.append(near)
+        allowed[qi, sorted(near)] = True
     q_ref = ray.put((qids, Q, allowed))
 
     def partial_topk(t: pa.Table) -> pa.Table:
@@ -703,8 +739,7 @@ def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
             vb = _lsh_bucket(V)
             vnorm = np.linalg.norm(V, axis=1)
             for qi in range(len(qids_)):
-                cand = np.fromiter((int(b) in allowed_[qi] for b in vb),
-                                   dtype=bool, count=len(vb))
+                cand = allowed_[qi, vb]
                 if not cand.any():
                     continue
                 Vc, vc, nc = V[cand], vids[cand], vnorm[cand]
@@ -864,18 +899,26 @@ def simhash_near_dup(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band": [], "bucket": [], "bucket_mod": [],
-                "sim": []}
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            h = TS.simhash64(text.lower().split())
-            for band in range(4):
-                chunk = (h >> (16 * band)) & 0xFFFF
-                rows["doc_id"].append(doc_id)
-                rows["band"].append(band)
-                rows["bucket"].append(chunk)
-                rows["bucket_mod"].append(chunk % _BUCKET_SALT)
-                rows["sim"].append(np.int64(h - (1 << 63)))
-        return pd.DataFrame(rows)
+        # batched: one flat token-hash pass + np.add.reduceat SimHash
+        # for the whole batch (bit-identical to per-doc simhash64)
+        tok_lists = [t.lower().split() for t in df["text"]]
+        offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in tok_lists], out=offsets[1:])
+        hashes = TS.stable_hashes64([t for toks in tok_lists
+                                     for t in toks])
+        H = TS.simhash64_batch(hashes, offsets)
+        bands = np.arange(4, dtype=np.uint64)
+        chunks = ((H[:, None] >> (np.uint64(16) * bands[None, :])) &
+                  np.uint64(0xFFFF)).astype(np.int64)
+        # int64 storage offset: h - 2^63 == (h XOR 2^63) reinterpreted
+        sim = (H ^ np.uint64(1 << 63)).view(np.int64)
+        n = len(tok_lists)
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+            "band": np.tile(np.arange(4, dtype=np.int64), n),
+            "bucket": chunks.reshape(-1),
+            "bucket_mod": chunks.reshape(-1) % _BUCKET_SALT,
+            "sim": np.repeat(sim, 4)})
 
     def ham_filter(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -947,9 +990,14 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.lower().split() for t in df["text"]]
+        offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in tok_lists], out=offsets[1:])
+        hashes = TS.stable_hashes64([t for toks in tok_lists
+                                     for t in toks])
+        H = TS.simhash64_batch(hashes, offsets)
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "simhash": df["text"].map(
-                lambda s: format(TS.simhash64(s.lower().split()), "016x"))})
+            "simhash": [format(int(h), "016x") for h in H]})
 
     return ds.map_batches(sh, batch_format="pandas").to_pandas()

@@ -555,12 +555,14 @@ EMA_ALPHA = 0.25
 def events_ema(sf_dir: str) -> pd.DataFrame:
     """Final EMA (alpha=0.25) of each user's value stream in ts order —
     the reference's streaming smoother (Char_Count_TurnTable.py:78-79)
-    as a per-key ordered fold. Recursive -> no SQL oracle; pytest
-    checks against a pandas ewm reference."""
+    as a per-key ordered fold. Oracle: DuckDB folds the same recursion
+    with list_reduce over list(value ORDER BY ts, value) — the (ts,
+    value) order key makes equal-ts rows deterministic on both sides.
+    The pandas-ewm pytest remains as an independent backstop."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def ema(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        g = g.sort_values(["ts", "value"])
         acc = None
         for v in g["value"].to_numpy():
             acc = v if acc is None else EMA_ALPHA * v + (1 - EMA_ALPHA) * acc
@@ -570,6 +572,16 @@ def events_ema(sf_dir: str) -> pd.DataFrame:
 
     return (ds.groupby("user_id")
               .map_groups(ema, batch_format="pandas").to_pandas())
+
+
+EVENTS_EMA_SQL = """
+SELECT user_id,
+       round(list_reduce(list(value ORDER BY ts, value),
+                         (acc, v) -> 0.25 * v + 0.75 * acc),
+             6) AS ema_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
 
 
 def q4_semi_join(sf_dir: str) -> pd.DataFrame:
