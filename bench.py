@@ -130,6 +130,23 @@ def run_bench() -> dict:
     return result
 
 
+def run_canary() -> float:
+    """Small fixed control job (20k-doc flagship, 32 cpus, one timed
+    run) measuring the machine's CURRENT effective speed. This sandbox
+    is shared: cross-tenant contention swings unchanged-code wall
+    clock up to 2.4x in bursts, so every recorded measurement carries
+    an adjacent canary to make regressions attributable (round-2
+    verdict: the r2 flagship bench regression could not be cleanly
+    attributed because no canary was recorded alongside it)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS="32",
+               WLOR_BENCH_DOCS="20000", WLOR_BENCH_RUNS="1",
+               WLOR_BENCH_QUERIES="skip", WLOR_BENCH_CANARY="0")
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True,
+                         check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])["value"]
+
+
 def run_scaling() -> dict:
     """Interleaved multi-trial scaling measurement: the single-run
     efficiency swings ~+-20% with page-cache/writeback state (round-1
@@ -163,33 +180,21 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def canary() -> float:
-        """Small fixed control job (20k-doc flagship, 32 cpus, one
-        timed run) measuring the machine's CURRENT effective speed.
-        This sandbox is shared: cross-tenant contention swings
-        unchanged-code wall clock up to 2.4x in bursts. Trials are
-        gated RETROSPECTIVELY on their adjacent canary — an
-        independent measurement of the environment, never of the
-        result — so a noisy-window trial is excluded with evidence."""
-        env = dict(os.environ, RAY_GRAFT_CPUS="32",
-                   WLOR_BENCH_DOCS="20000", WLOR_BENCH_RUNS="1",
-                   WLOR_BENCH_QUERIES="skip")
-        out = subprocess.run([sys.executable,
-                              os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])["value"]
+    canary = run_canary  # gate trials RETROSPECTIVELY on an adjacent
+    # canary — an independent measurement of the environment, never of
+    # the result — so a noisy-window trial is excluded with evidence
 
     trials = int(os.environ.get("WLOR_SCALING_TRIALS", "3"))
-    # N vs 4N levels. Default 4 vs 16: on this SHARED 32-core sandbox,
-    # an 8-vs-32 measurement makes the 4N leg fight the (observed,
-    # bursty, up to ~1.4x slowdown) noisy-neighbor load for the last
-    # cores, which craters the ratio on unchanged code; 4-vs-16 keeps
-    # both legs inside the machine's reliably-available capacity while
-    # measuring the same N-to-4N throughput scaling. Override with
-    # WLOR_SCALING_LO / WLOR_SCALING_HI (e.g. 8 / 32 on a quiet host).
-    lo = int(os.environ.get("WLOR_SCALING_LO", "4"))
-    hi = int(os.environ.get("WLOR_SCALING_HI", "16"))
+    # N vs 4N levels: default 8 vs 32 — the BASELINE.json criterion's
+    # defined 4x ratio at full machine width. On this SHARED 32-core
+    # sandbox the 32-cpu leg fights bursty noisy-neighbor load for the
+    # last cores (observed up to ~1.4x slowdown on unchanged code);
+    # that is what the canary gate + interleaved trials are for.
+    # Override with WLOR_SCALING_LO / WLOR_SCALING_HI for diagnostic
+    # runs at other ratios (any such run is labeled with its TRUE
+    # ratio in BASELINE.md, see _record_baseline).
+    lo = int(os.environ.get("WLOR_SCALING_LO", "8"))
+    hi = int(os.environ.get("WLOR_SCALING_HI", "32"))
     use_canary = os.environ.get("WLOR_SCALING_CANARY", "1") != "0"
     max_attempts = int(os.environ.get("WLOR_SCALING_MAX_ATTEMPTS",
                                       str(2 * trials)))
@@ -256,6 +261,10 @@ def _record_baseline(result: dict) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     marker = "## Measured results (bench.py --scaling)"
     lo, hi = result["cpus_lo"], result["cpus_hi"]
+    # label the run with its TRUE cpu ratio (round-2 verdict: a 2x
+    # diagnostic run must never wear the 4N criterion's label)
+    ratio = hi / lo
+    rlab = f"{ratio:g}N"
     canary_note = ""
     if result.get("canary_samples"):
         canary_note = (
@@ -268,8 +277,8 @@ def _record_baseline(result: dict) -> None:
              f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} valid of {result['attempts']} interleaved trials) |\n"
              f"|---|---|---|---|\n"
              f"| N | num_cpus={lo} | {result['docs_per_sec_lo']} | median {result['sec_lo']} over valid trials; all samples {result['sec_lo_samples']} |\n"
-             f"| 4N | num_cpus={hi} | {result['docs_per_sec_hi']} | median {result['sec_hi']} over valid trials; all samples {result['sec_hi_samples']} |\n"
-             f"| efficiency | (T_4N/T_N)/4 | **{result['value']}** (medians over valid trials; per-trial {result['eff_samples']}) | target >= 0.8 |\n"
+             f"| {rlab} | num_cpus={hi} | {result['docs_per_sec_hi']} | median {result['sec_hi']} over valid trials; all samples {result['sec_hi_samples']} |\n"
+             f"| efficiency | (T_{rlab}/T_N)/{ratio:g} | **{result['value']}** (medians over valid trials; per-trial {result['eff_samples']}) | target >= 0.8 |\n"
              + canary_note)
     try:
         with open(path) as f:
@@ -286,4 +295,14 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        # plain bench is canary-stamped (before AND after the timed
+        # runs) so a regression vs a prior round is attributable to
+        # code vs host contention; WLOR_BENCH_CANARY=0 disables (and
+        # marks the canary subprocesses themselves)
+        stamp = os.environ.get("WLOR_BENCH_CANARY", "1") != "0"
+        c_before = round(run_canary(), 3) if stamp else None
+        res = run_bench()
+        if stamp:
+            res["canary_before_sec"] = c_before
+            res["canary_after_sec"] = round(run_canary(), 3)
+        print(json.dumps(res))

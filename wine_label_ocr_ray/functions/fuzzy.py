@@ -127,8 +127,25 @@ def token_set_ratio_sets(tokens_a: Set[str], tokens_b: Set[str]) -> float:
     return max(indel_ratio(t0, t1), indel_ratio(t0, t2), indel_ratio(t1, t2))
 
 
-def score(a: str, b: str, method: str = "token_set") -> int:
-    """``MakerAndCustomIDSimilarity.py:23-30`` (primary rapidfuzz branch)."""
+def difflib_score(a: str, b: str) -> int:
+    """The reference's DEGRADED-mode scorer
+    (``MakerAndCustomIDSimilarity.py:32``): when rapidfuzz is absent it
+    scores every method with ``difflib.SequenceMatcher.ratio`` —
+    deliberately DIFFERENT semantics from the primary token-set
+    algebra (order-sensitive, no token dedup). Exposed for parity with
+    the reference's fallback path; the engine's dedup stages always
+    use the primary scorer."""
+    import difflib
+    return int(round(100 * difflib.SequenceMatcher(None, a, b).ratio()))
+
+
+def score(a: str, b: str, method: str = "token_set",
+          engine: str = "primary") -> int:
+    """``MakerAndCustomIDSimilarity.py:23-32``: primary rapidfuzz-parity
+    branch, or ``engine="difflib"`` for the reference's degraded mode
+    (which ignores ``method``, exactly as the reference does)."""
+    if engine == "difflib":
+        return difflib_score(a, b)
     if method == "token_set":
         return int(token_set_ratio(a, b))
     if method == "token_sort":
