@@ -73,3 +73,23 @@ def test_extract_year():
     assert F.extract_year("Opus One|2019") == "2019"
     assert F.extract_year("no year") is None
     assert F.extract_year("21999") is None  # word-boundary anchored
+
+
+def test_difflib_degraded_scorer():
+    """Reference fallback parity (MakerAndCustomIDSimilarity.py:32):
+    difflib SequenceMatcher ratio*100, order-sensitive, ignores the
+    method selector — deliberately different from token_set."""
+    import difflib
+
+    from wine_label_ocr_ray.functions.fuzzy import difflib_score, score
+
+    for a, b in [("opus one", "opus one"), ("opus one", "one opus"),
+                 ("silver oak", "silver oak cellars"), ("", "x")]:
+        expect = int(round(100 * difflib.SequenceMatcher(
+            None, a, b).ratio()))
+        assert difflib_score(a, b) == expect
+        assert score(a, b, engine="difflib") == expect
+        assert score(a, b, method="partial", engine="difflib") == expect
+    # order sensitivity is the documented semantic difference
+    assert score("opus one", "one opus", engine="difflib") < 100
+    assert score("opus one", "one opus") == 100

@@ -394,6 +394,32 @@ FROM events GROUP BY 1, 2
 """
 
 
+_KEY_BUCKETS = 64
+
+
+def _grouped_by_user(ds, fn):
+    """``groupby("user_id").map_groups(fn)`` with a CONSTANT group
+    count: user cardinality grows with the data and sliced map_groups
+    pays ~200 µs of dispatch per group, so the shuffle key is
+    hash-bucketed user_id (64 buckets) and ``fn`` runs per user inside
+    each bucket via a pandas sub-groupby — the same amortization as
+    the flagship's ``assemble_bucket`` and the LSH bucket salting.
+    ``fn`` keeps the exact per-user input contract."""
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_kb"] = (df["user_id"].to_numpy().astype(np.int64)
+                     % _KEY_BUCKETS)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [fn(g) for _, g in df.groupby("user_id", sort=False)]
+        return pd.concat(parts, ignore_index=True)
+
+    return (ds.map_batches(add_kb, batch_format="pandas")
+              .groupby("_kb")
+              .map_groups(per_bucket, batch_format="pandas"))
+
+
 def events_sessionize(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min inactivity gap) per user: the reference's
     stream-session lifecycle (Char_Count_TurnTable.py:141-185 arm/start/
@@ -407,8 +433,7 @@ def events_sessionize(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
                              "n_sessions": [n]})
 
-    return (ds.groupby("user_id")
-              .map_groups(sessions, batch_format="pandas").to_pandas())
+    return _grouped_by_user(ds, sessions).to_pandas()
 
 
 EVENTS_SESSIONIZE_SQL = """
@@ -455,8 +480,7 @@ def events_asof_click(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
                              "click_id": m["click_id"].astype("int64")})
 
-    return (tagged.groupby("user_id")
-                  .map_groups(asof, batch_format="pandas").to_pandas())
+    return _grouped_by_user(tagged, asof).to_pandas()
 
 
 EVENTS_ASOF_SQL = """
@@ -534,8 +558,7 @@ def events_window_range(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "value_range": rng / 100.0})
 
-    return (ds.groupby("user_id")
-              .map_groups(rolling, batch_format="pandas").to_pandas())
+    return _grouped_by_user(ds, rolling).to_pandas()
 
 
 EVENTS_WINDOW_RANGE_SQL = """
@@ -570,8 +593,7 @@ def events_ema(sf_dir: str) -> pd.DataFrame:
                              "ema_value": [round(float(acc), 6)],
                              "n_events": [len(g)]})
 
-    return (ds.groupby("user_id")
-              .map_groups(ema, batch_format="pandas").to_pandas())
+    return _grouped_by_user(ds, ema).to_pandas()
 
 
 EVENTS_EMA_SQL = """
