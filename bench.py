@@ -291,8 +291,42 @@ def _record_baseline(result: dict) -> None:
         pass
 
 
+def run_cpu_probe() -> dict:
+    """Pure-CPU host-capacity probe: N processes each burn a fixed
+    Python loop; effective cores = N * T_single / T_N. On this SHARED
+    sandbox the probe documents the physical ceiling of any scaling
+    measurement — e.g. 32 procs achieving ~23 effective cores caps the
+    best possible 8v32 efficiency at (23/8)/4 ~= 0.71 REGARDLESS of
+    engine quality, because the 8-proc leg gets its full 8 cores.
+    Recorded adjacent to every scaling run so the ratio's ceiling is
+    part of the evidence."""
+    import multiprocessing as mp
+    import time as _t
+
+    n = 8_000_000
+    t0 = _t.time(); _burn(n); single = _t.time() - t0
+    eff = {}
+    for procs in (4, 8, 16, 24, 32):
+        with mp.Pool(procs) as p:
+            t0 = _t.time()
+            p.map(_burn, [n] * procs)
+            el = _t.time() - t0
+        eff[procs] = round(procs * single / el, 1)
+    return {"metric": "effective_cores", "unit": "cores",
+            "single_sec": round(single, 3), "by_procs": eff}
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--cpu-probe" in sys.argv:
+        print(json.dumps(run_cpu_probe()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         # plain bench is canary-stamped (before AND after the timed
