@@ -175,17 +175,19 @@ QUERIES = {
     "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
     "doc_sample": D.doc_sample,
     "doc_maker_norm": D.doc_maker_norm,
+    "doc_top_terms": D.doc_top_terms,
+    "doc_rolling_fingerprint": D.doc_rolling_fingerprint,
     # embeddings: similarity search / centroids / near-dup
     "embedding_norms": D.embedding_norms,
     "embedding_centroids": D.embedding_centroids,
     "knn_cosine_topk": D.knn_cosine_topk,
     "cosine_dup_pairs": D.cosine_dup_pairs,
+    "embedding_dedup_exact": D.embedding_dedup_exact,
     # rows-only (non-SQL-expressible)
     "cosine_lsh_dup_pairs": D.cosine_lsh_dup_pairs,
     "minhash_lsh_pairs": D.minhash_lsh_pairs,
     "simhash_fingerprints": D.simhash_fingerprints,
     "simhash_near_dup": D.simhash_near_dup,
-    "doc_rolling_fingerprint": D.doc_rolling_fingerprint,
     "knn_lsh_topk": D.knn_lsh_topk,
     "knn_ivf_topk": D.knn_ivf_topk,
     "flagship_extract": flagship_extract,
@@ -221,6 +223,9 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": D.NGRAM_JACCARD_SQL,
     "doc_sample": D.DOC_SAMPLE_SQL,
     "doc_maker_norm": D.DOC_MAKER_NORM_SQL,
+    "doc_top_terms": D.DOC_TOP_TERMS_SQL,
+    "doc_rolling_fingerprint": D.DOC_ROLLING_FP_SQL,
+    "embedding_dedup_exact": D.EMBEDDING_DEDUP_SQL,
     "embedding_norms": D.EMBEDDING_NORMS_SQL,
     "embedding_centroids": D.EMBEDDING_CENTROIDS_SQL,
     "knn_cosine_topk": D.KNN_SQL,

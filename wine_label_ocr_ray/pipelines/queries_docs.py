@@ -972,7 +972,8 @@ WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1')
 
 def doc_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
     """Winnowing-style rolling-hash document fingerprint (min 16-char
-    window hash, order-sensitive) — rows-only (recursive hash)."""
+    window hash, order-sensitive). Oracle: ``DOC_ROLLING_FP_SQL``
+    expands the recursion into per-window polynomial sums."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -1001,3 +1002,137 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
             "simhash": [format(int(h), "016x") for h in H]})
 
     return ds.map_batches(sh, batch_format="pandas").to_pandas()
+
+
+# ----------------------------------------------------- corpus top terms
+
+TOP_TERMS_K = 20
+
+
+def doc_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level term statistics: top-K non-stopword terms by total
+    occurrence count (ties broken by term).
+
+    The canonical pre-aggregation pattern for a 100-TB vocabulary: each
+    batch emits one row per DISTINCT term in the batch (occurrence
+    count + document frequency partials), so the shuffle carries
+    ~vocab-per-batch rows, never one row per token; the global combine
+    is a small Sum groupby and the top-K is a distributed
+    sort + limit — the full vocabulary never lands on the driver.
+    Document-frequency partials sum exactly because each document
+    appears in exactly one batch (one row per doc)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split()
+        ex = toks.explode().dropna()
+        d = pd.DataFrame({
+            "term": ex.to_numpy(),
+            "doc_id": df["doc_id"].reindex(ex.index).to_numpy()})
+        d = d[~d["term"].isin(TS.STOPWORDS)]
+        agg = (d.groupby("term", sort=False)
+                .agg(cnt=("doc_id", "size"), n_docs=("doc_id", "nunique"))
+                .reset_index())
+        agg["cnt"] = agg["cnt"].astype("int64")
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        return agg
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby("term")
+              .aggregate(Sum("cnt", alias_name="cnt"),
+                         Sum("n_docs", alias_name="n_docs"))
+              .sort(["cnt", "term"], descending=[True, False])
+              .limit(TOP_TERMS_K)
+              .to_pandas())
+
+
+_STOP_NOT_IN = ", ".join(f"'{w}'" for w in sorted(TS.STOPWORDS))
+
+DOC_TOP_TERMS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents)
+SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+FROM toks
+WHERE term <> '' AND term NOT IN ({_STOP_NOT_IN})
+GROUP BY term
+ORDER BY cnt DESC, term ASC
+LIMIT {TOP_TERMS_K}
+"""
+
+
+# ------------------------------------------------ exact vector dedup
+
+def embedding_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicate-VECTOR dedup: md5 over the raw little-endian
+    float32 bytes hash-partitions identical embeddings; first-wins
+    (min vec_id) + group size per distinct vector. Only the 32-hex
+    digest and the id leave the map stage — the vectors themselves are
+    never shuffled, which is what makes this viable when the embedding
+    table is tens of TB."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [hashlib.md5(
+                    np.ascontiguousarray(v, dtype=np.float32).tobytes()
+                ).hexdigest()
+                for v in df["embedding"]]
+        return pd.DataFrame({"vec_hash": keys,
+                             "vec_id": df["vec_id"].to_numpy()})
+
+    from ray.data.aggregate import Min
+    return (ds.map_batches(h, batch_format="pandas")
+              .groupby("vec_hash")
+              .aggregate(Min("vec_id", alias_name="keep_vec_id"),
+                         Count(alias_name="n_copies"))
+              .drop_columns(["vec_hash"])
+              .to_pandas())
+
+
+EMBEDDING_DEDUP_SQL = """
+SELECT min(vec_id) AS keep_vec_id, count(*) AS n_copies
+FROM embeddings GROUP BY embedding
+"""
+
+
+# ------------------------------------- rolling-fingerprint SQL oracle
+
+def _rolling_fp_sql() -> str:
+    """DuckDB oracle for ``doc_rolling_fingerprint``: the stepwise
+    rolling hash is mod-linear, so each window hash equals the
+    polynomial sum  (b_j + 1) * BASE^(L-1-j) mod M  computed directly —
+    chars cross-joined with a 16-row power table, grouped per window,
+    min per doc. Exact (integer arithmetic in HUGEINT; one mod at the
+    end is ring-equal to the per-step mod). Assumes an ASCII corpus
+    (``ord(substr)`` = utf-8 byte), which holds for the driver
+    testdata; the Ray side is general utf-8."""
+    B, M = TS._ROLL_BASE, TS._ROLL_MOD
+    pows = ", ".join(f"({j}, {pow(B, j, M)})" for j in range(16))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, length(text) AS n, text,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM documents),
+chars AS (
+  SELECT doc_id, n, i, ord(substr(text, i, 1)) + 1 AS v,
+         least(n, 16) AS L
+  FROM pos),
+powers(e, pw) AS (VALUES {pows}),
+terms AS (
+  SELECT c.doc_id, c.i - c.L + 1 + p.e AS wi,
+         c.v::HUGEINT * p.pw AS term, c.n, c.L
+  FROM chars c JOIN powers p ON p.e < c.L),
+windows AS (
+  SELECT doc_id, wi, sum(term) % {M} AS wh
+  FROM terms WHERE wi >= 1 AND wi + L - 1 <= n
+  GROUP BY doc_id, wi)
+SELECT d.doc_id,
+       coalesce(printf('%016x', (min(w.wh))::BIGINT),
+                '0000000000000000') AS fingerprint
+FROM documents d LEFT JOIN windows w USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+DOC_ROLLING_FP_SQL = _rolling_fp_sql()
