@@ -86,13 +86,17 @@ def test_minhash_subset_of_exact(ray_session):
     assert high <= approx_pairs
 
 
-def test_minhash_semijoin_prune_equals_isin(ray_session):
-    """The distributed semi-join verify prune (taken when the candidate
-    id set exceeds isin_prune_max) must produce exactly the same pairs
-    as the pushed-down isin predicate path."""
+def test_minhash_verify_paths_identical(ray_session):
+    """The three volume-routed verify paths — bounded driver-side
+    intersection (default at small candidate counts), distributed
+    join over an isin-pruned scan, and distributed join with a
+    semi-join prune — must produce exactly the same pairs."""
     from wine_label_ocr_ray.pipelines import queries_docs as D
-    via_isin = D.minhash_lsh_pairs(TESTDATA)
-    via_join = D.minhash_lsh_pairs(TESTDATA, isin_prune_max=0)
+    via_driver = D.minhash_lsh_pairs(TESTDATA)
+    via_isin = D.minhash_lsh_pairs(TESTDATA, driver_verify_max=0)
+    via_join = D.minhash_lsh_pairs(TESTDATA, driver_verify_max=0,
+                                   isin_prune_max=0)
+    pd.testing.assert_frame_equal(via_driver, via_isin)
     pd.testing.assert_frame_equal(via_isin, via_join)
 
 

@@ -574,13 +574,25 @@ def _bucket_pairs(g: pd.DataFrame, id_col: str = "doc_id",
 
 
 def minhash_lsh_pairs(sf_dir: str, *,
-                      isin_prune_max: int = 100_000) -> pd.DataFrame:
+                      isin_prune_max: int = 100_000,
+                      driver_verify_max: int = 2_000) -> pd.DataFrame:
     """MinHash(128)+LSH(16 bands) candidate pairs, verified by exact
     Jaccard >= 0.2 — the sub-quadratic near-dup path. No SQL oracle
     (sketch-based); ngram_jaccard_pairs is the exact baseline and the
     pytest suite asserts this query's pairs are a subset of it.
-    ``isin_prune_max`` bounds the driver-side candidate-id predicate;
-    above it the verify prune runs as a distributed semi-join."""
+
+    Verification is volume-routed (all three paths produce identical
+    pairs — pytest-asserted):
+    - ``npairs <= driver_verify_max``: the bounded pair table and the
+      candidate docs' shingle rows (computed distributed, pruned by a
+      pushed-down isin scan) are collected and intersected driver-side
+      — 2 dataset executions, no hash joins, which at near-dup-sparse
+      candidate counts saves several seconds of per-join
+      aggregator-actor ramp and barrier latency.
+    - else if ``2*npairs <= isin_prune_max``: distributed
+      candidate x shingle hash-join verify over an isin-pruned scan.
+    - else: same join verify with a semi-join prune — no driver-side
+      id list at all (the 100-TB form)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     NUM_PERMS, NUM_BANDS = 128, 16
 
@@ -638,9 +650,34 @@ def minhash_lsh_pairs(sf_dir: str, *,
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
+    if npairs <= driver_verify_max:
+        cand_df = cand.to_pandas()
+        needed = sorted({int(v) for v in cand_df["doc_a"]} |
+                        {int(v) for v in cand_df["doc_b"]})
+        sh_tbl = (read_table(sf_dir, "documents",
+                             columns=["doc_id", "text"],
+                             filter=pc.field("doc_id").isin(needed))
+                  .map_batches(_shingle_rows, batch_format="pandas")
+                  .to_pandas())
+        sets = {d: set(g) for d, g in
+                sh_tbl.groupby("doc_id")["shingle"]}
+        rows_a, rows_b, rows_j = [], [], []
+        for a, b in zip(cand_df["doc_a"], cand_df["doc_b"]):
+            A, B = sets[a], sets[b]
+            inter = len(A & B)
+            jac = inter / (len(A) + len(B) - inter)
+            if jac >= JACCARD_THRESHOLD:
+                rows_a.append(int(a)); rows_b.append(int(b))
+                rows_j.append(jac)
+        out = pd.DataFrame({
+            "doc_a": pd.Series(rows_a, dtype="int64"),
+            "doc_b": pd.Series(rows_b, dtype="int64"),
+            "jaccard": pd.Series(rows_j, dtype="float64")})
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     if 2 * npairs <= isin_prune_max:
-        needed = sorted({int(v) for col in ("doc_a", "doc_b")
-                         for v in cand.select_columns([col]).unique(col)})
+        cand_df = cand.select_columns(["doc_a", "doc_b"]).to_pandas()
+        needed = sorted({int(v) for v in cand_df["doc_a"]} |
+                        {int(v) for v in cand_df["doc_b"]})
         docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
                           filter=pc.field("doc_id").isin(needed))
     else:
