@@ -145,7 +145,7 @@ def test_ocr_sweep_cap_contract():
         def ocr_full(self, d):
             return []
 
-        def ocr_sweep(self, d, max_variants=75):
+        def ocr_sweep(self, d, max_variants=75, gray=None):
             seen["cap"] = max_variants
             return ["2016"]
 
@@ -203,3 +203,71 @@ def test_engine_factory_seam(ray_session, tmp_path):
     assert base.maker_name.notna().any()
     assert alt.maker_name.isna().all()      # blind OCR finds nothing
     assert alt.barcode.equals(base.barcode)  # barcode engine unchanged
+
+
+def test_sweep_variant_enumeration_matches_reference_shape():
+    """M21 image-side fan-out: 5 preprocess versions x 5 regions x
+    [unrotated, -5, +5] = 75 variants in the reference's nesting
+    order (final_run_ocr.py:236-272), hard-capped by max_variants."""
+    from wine_label_ocr_ray.functions.enhance import (sweep_regions,
+                                                      sweep_variant_crops)
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 255, size=(60, 90)).astype(np.uint8)
+    variants = list(sweep_variant_crops(gray, 75))
+    assert len(variants) == 75
+    # ordering: versions outer, regions middle, angles inner
+    labels = [(v, r, a) for v, r, a, _ in variants]
+    versions = ["original", "red_enhanced", "red_mask", "high_contrast",
+                "sharpened"]
+    regions = [n for n, _ in sweep_regions(90, 60)]
+    expect = [(v, r, a) for v in versions for r in regions
+              for a in (0.0, -5.0, 5.0)]
+    assert labels == expect
+    # region geometry: crops match the reference slices
+    by_region = {r: c.shape for v, r, a, c in variants
+                 if v == "original" and a == 0.0}
+    assert by_region["full"] == (60, 90)
+    assert by_region["top_half"] == (30, 90)
+    assert by_region["middle_band"] == (20, 90)
+    assert by_region["left_third"] == (60, 30)
+    assert by_region["right_third"] == (60, 30)
+    # hard cap honored mid-enumeration
+    assert len(list(sweep_variant_crops(gray, 13))) == 13
+    # deterministic
+    again = list(sweep_variant_crops(gray, 75))
+    assert all((a[3] == b[3]).all() for a, b in zip(variants, again))
+
+
+def test_pixel_sweep_ocr_mixin_runs_real_fanout():
+    """PixelSweepOcr.ocr_sweep drives ocr_pixels once per variant,
+    honors the cap, and concatenates every variant's texts for the
+    text-side reduction."""
+    from wine_label_ocr_ray.functions.text import sweep_year_from_texts
+    from wine_label_ocr_ray.state.engines import OcrEngine, PixelSweepOcr
+
+    calls = []
+
+    class PixelOcr(PixelSweepOcr, OcrEngine):
+        def ocr_box(self, d, box):
+            return [], []
+
+        def ocr_full(self, d):
+            return ["full-view"]
+
+        def ocr_pixels(self, img):
+            calls.append(img.shape)
+            # only the 40th variant "reads" a year
+            return ["vintage 2017"] if len(calls) == 40 else ["noise"]
+
+    eng = PixelOcr()
+    gray = np.full((48, 66), 128, dtype=np.uint8)
+    texts = eng.ocr_sweep({}, 75, gray=gray)
+    assert len(calls) == 75
+    assert texts.count("vintage 2017") == 1 and len(texts) == 75
+    assert sweep_year_from_texts(texts) == "2017"
+    # cap propagates to the OCR call count
+    calls.clear()
+    eng.ocr_sweep({}, 10, gray=gray)
+    assert len(calls) == 10
+    # no pixels -> ocr_full fallback, no crash
+    assert eng.ocr_sweep({}, 75) == ["full-view"]

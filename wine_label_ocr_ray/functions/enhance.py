@@ -206,3 +206,72 @@ def align_vertically(gray: np.ndarray) -> Tuple[np.ndarray, float]:
         scores.append(score(rotate_nearest(binary, deg)))
     best = degrees[int(np.argmax(scores))]
     return rotate_nearest(gray, best), float(best)
+
+
+# -------------------------------------------------- M21 sweep fan-out
+
+# The vintage fallback sweep's image-side enumeration
+# (``final_run_ocr.py:187-297``): 5 preprocess versions x 5 search
+# regions x [unrotated, -5 deg, +5 deg] = 75 OCR variants worst case.
+SWEEP_ANGLES: Tuple[float, ...] = (0.0, -5.0, 5.0)
+
+
+def sweep_preprocess_versions(gray: np.ndarray):
+    """The sweep's 5 preprocess variants (``final_run_ocr.py:193-233``)
+    adapted to this engine's single-channel images (the reference's
+    red-channel ops act on BGR; their intensity effect is reproduced,
+    the hue selection is meaningless on grayscale by construction):
+
+    - ``original``      identity
+    - ``red_enhanced``  intensity x1.5 clip (the r*1.5 merge as seen
+                        by a gray read of the result)
+    - ``red_mask``      bright-band inRange(30..255) mask, dilated
+                        3x3 twice, applied as bitwise_and
+    - ``high_contrast`` CLAHE clip=3.0, 8x8 tiles (exact counterpart)
+    - ``sharpened``     addWeighted(img, 2.0, blur(sigma=1), -1.0)
+
+    Yields ``(name, processed)`` in the reference's order.
+    """
+    yield "original", gray
+    yield "red_enhanced", np.clip(
+        gray.astype(np.float64) * 1.5, 0, 255).astype(np.uint8)
+    band = (gray >= 30).astype(np.uint8)
+    band = _binary_dilate(band, np.ones((3, 3), dtype=bool))
+    band = _binary_dilate(band, np.ones((3, 3), dtype=bool))
+    yield "red_mask", (gray * band).astype(np.uint8)
+    yield "high_contrast", clahe(gray, clip_limit=3.0, tiles=(8, 8))
+    blurred = gaussian_blur(gray, 1.0)
+    yield "sharpened", np.clip(
+        2.0 * gray.astype(np.float64) - blurred, 0, 255).astype(np.uint8)
+
+
+def sweep_regions(w: int, h: int):
+    """The sweep's 5 search regions (``final_run_ocr.py:239-249``):
+    full image, top half, middle band, left third, right third."""
+    return [("full", (0, 0, w, h)),
+            ("top_half", (0, 0, w, h // 2)),
+            ("middle_band", (0, h // 3, w, 2 * h // 3)),
+            ("left_third", (0, 0, w // 3, h)),
+            ("right_third", (2 * w // 3, 0, w, h))]
+
+
+def sweep_variant_crops(gray: np.ndarray, max_variants: int = 75):
+    """Enumerate the sweep's OCR inputs in the reference's exact
+    nesting order (versions outer, regions middle, [unrotated, -5,
+    +5] inner — ``final_run_ocr.py:236-272``), yielding
+    ``(version, region, angle, crop)`` and stopping hard at
+    ``max_variants`` (the PipelineConfig.sweep_max_variants cost cap;
+    the reference's worst case is the full 75)."""
+    n = 0
+    h, w = gray.shape[:2]
+    for vname, proc in sweep_preprocess_versions(gray):
+        for rname, (x1, y1, x2, y2) in sweep_regions(w, h):
+            crop = proc[y1:y2, x1:x2]
+            if crop.size == 0:
+                continue
+            for angle in SWEEP_ANGLES:
+                if n >= max_variants:
+                    return
+                out = crop if angle == 0.0 else rotate_nearest(crop, angle)
+                yield vname, rname, angle, out
+                n += 1

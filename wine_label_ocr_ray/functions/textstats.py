@@ -7,9 +7,12 @@ MinHash, SimHash. All are deterministic, dependency-free, and designed
 to be called per-batch from ``map_batches`` (list-of-strings in,
 numpy arrays out).
 
-Hash bases: MinHash/SimHash use blake2b with fixed per-permutation
-salts so results are stable across processes and Python versions
-(``hash()`` is salted per process and must never be used here).
+Hash bases: MinHash/SimHash token hashes are md5-derived (first 8
+bytes big-endian) so they are stable across processes and Python
+versions (``hash()`` is salted per process and must never be used
+here) AND bit-for-bit reproducible in the DuckDB oracle via
+``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` — which upgrades the
+sketch queries from rows-only to hash-checked.
 """
 
 from __future__ import annotations
@@ -143,9 +146,17 @@ def jaccard(a: Set, b: Set) -> float:
 
 
 def _stable_hash64(token: str, salt: int = 0) -> int:
-    h = hashlib.blake2b(token.encode("utf-8"), digest_size=8,
-                        salt=salt.to_bytes(8, "little")).digest()
-    return struct.unpack("<Q", h)[0]
+    """Stable 64-bit token hash = the first 16 hex chars of md5,
+    read big-endian. md5 (not blake2b) so a DuckDB oracle can
+    reproduce it exactly: ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``
+    — this is what lets simhash/minhash signature queries be
+    hash-checked against SQL rather than rows-only. ``salt`` (used
+    only for internal bucket derivations, never for oracle-visible
+    values) prefixes the payload."""
+    payload = token.encode("utf-8")
+    if salt:
+        payload = salt.to_bytes(8, "little") + payload
+    return int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
 
 
 # 32-bit universal hash family (a*x + b) mod p with p prime > 2^32:

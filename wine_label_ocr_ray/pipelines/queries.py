@@ -183,11 +183,13 @@ QUERIES = {
     "knn_cosine_topk": D.knn_cosine_topk,
     "cosine_dup_pairs": D.cosine_dup_pairs,
     "embedding_dedup_exact": D.embedding_dedup_exact,
+    # sketches with exact SQL twins (md5-derived token hashes)
+    "simhash_fingerprints": D.simhash_fingerprints,
+    "simhash_near_dup": D.simhash_near_dup,
+    "minhash_signatures": D.minhash_signatures,
     # rows-only (non-SQL-expressible)
     "cosine_lsh_dup_pairs": D.cosine_lsh_dup_pairs,
     "minhash_lsh_pairs": D.minhash_lsh_pairs,
-    "simhash_fingerprints": D.simhash_fingerprints,
-    "simhash_near_dup": D.simhash_near_dup,
     "knn_lsh_topk": D.knn_lsh_topk,
     "knn_ivf_topk": D.knn_ivf_topk,
     "flagship_extract": flagship_extract,
@@ -230,4 +232,7 @@ ORACLE_SQL = {
     "embedding_centroids": D.EMBEDDING_CENTROIDS_SQL,
     "knn_cosine_topk": D.KNN_SQL,
     "cosine_dup_pairs": D.COSINE_DUP_SQL,
+    "simhash_fingerprints": D.SIMHASH_FP_SQL,
+    "simhash_near_dup": D.SIMHASH_NEAR_DUP_SQL,
+    "minhash_signatures": D.MINHASH_SIG_SQL,
 }

@@ -930,9 +930,10 @@ SIMHASH_MAX_HAMMING = 12
 
 def simhash_near_dup(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup pairs: 64-bit signatures banded into 4x16-bit
-    chunks (a pair within Hamming distance 3 must share a band; wider
-    radii recall less), candidates verified by exact Hamming <= 12.
-    Rows-only (bit sketch)."""
+    chunks, candidates = pairs sharing at least one exact band (a
+    deterministic set — the salted grouping only partitions work),
+    verified by exact Hamming <= 12. Oracle: ``SIMHASH_NEAR_DUP_SQL``
+    reproduces both the banding predicate and the Hamming filter."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -1023,8 +1024,10 @@ def doc_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
 
 
 def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """Per-document 64-bit SimHash (hex) over word tokens. Rows-only
-    (bit-manipulation sketch, not SQL-expressible)."""
+    """Per-document 64-bit SimHash (hex) over word tokens. Token
+    hashes are md5-derived (``textstats._stable_hash64``), which makes
+    the whole sketch exactly reproducible in SQL — oracle:
+    ``SIMHASH_FP_SQL`` (64-way bit expansion + sign sums in DuckDB)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
@@ -1039,6 +1042,121 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
             "simhash": [format(int(h), "016x") for h in H]})
 
     return ds.map_batches(sh, batch_format="pandas").to_pandas()
+
+
+# Shared oracle CTE reproducing simhash64 exactly: md5-derived 64-bit
+# token hashes, per-(doc, bit) sign sums, little-endian bit packing,
+# empty doc -> 0 (the LEFT JOIN leg).
+_SIMHASH_FP_CTE = r"""
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h64
+  FROM toks WHERE tok <> ''),
+bits AS (
+  SELECT doc_id, b.bit AS bit,
+         sum(CASE WHEN (h64 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2),
+fp0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                  ELSE 0::UBIGINT END)::UBIGINT AS s
+  FROM bits GROUP BY 1),
+fp AS (
+  SELECT d.doc_id, coalesce(fp0.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN fp0 USING (doc_id))
+"""
+
+SIMHASH_FP_SQL = ("WITH " + _SIMHASH_FP_CTE + """
+SELECT doc_id, lower(lpad(hex(s), 16, '0')) AS simhash FROM fp
+""")
+
+# Near-dup oracle: the banded candidate set is EXACTLY "pairs sharing
+# at least one 16-bit band" (the pipeline's salted bucket_mod grouping
+# only partitions work — every exact-band-equal pair stays within one
+# (band, bucket_mod) group), then verified at Hamming <= 12, so the
+# pipeline output is deterministic and SQL-checkable despite banding.
+SIMHASH_NEAR_DUP_SQL = ("WITH " + _SIMHASH_FP_CTE + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND (
+     (a.s >> 0)  & 65535 = (b.s >> 0)  & 65535
+  OR (a.s >> 16) & 65535 = (b.s >> 16) & 65535
+  OR (a.s >> 32) & 65535 = (b.s >> 32) & 65535
+  OR (a.s >> 48) & 65535 = (b.s >> 48) & 65535)
+WHERE bit_count(xor(a.s, b.s)) <= {SIMHASH_MAX_HAMMING}
+""")
+
+
+MINHASH_SIG_PERMS = 128
+
+
+def minhash_signatures(sf_dir: str) -> pd.DataFrame:
+    """Per-document 128-perm MinHash signature, folded to
+    ``md5(",".join(signature))`` so the FULL signature is value-checked
+    compactly. Oracle ``MINHASH_SIG_SQL`` reproduces the sketch
+    end-to-end in DuckDB: md5 shingle hashes, the module's fixed
+    (a*x+b) mod p family (A/B constants embedded as a VALUES list),
+    per-perm minima, and the same md5 fold — upgrading the MinHash
+    stack from rows-only to hash-checked."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        sh_lists = []
+        for text in df["text"]:
+            toks = text.lower().strip().split()
+            if len(toks) <= 3:
+                sh_lists.append([" ".join(toks)])
+            else:
+                sh_lists.append(sorted(
+                    {" ".join(toks[i:i + 3])
+                     for i in range(len(toks) - 2)}))
+        offsets = np.zeros(len(sh_lists) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in sh_lists], out=offsets[1:])
+        hashes = TS.stable_hashes64([s for sh in sh_lists for s in sh])
+        sigs = TS.minhash_signatures_batch(hashes, offsets,
+                                           MINHASH_SIG_PERMS)
+        digests = [hashlib.md5(
+            ",".join(str(int(v)) for v in row).encode()).hexdigest()
+            for row in sigs]
+        return pd.DataFrame({"doc_id": df["doc_id"], "sig_md5": digests})
+
+    return ds.map_batches(sig, batch_format="pandas").to_pandas()
+
+
+def _minhash_sig_sql() -> str:
+    vals = ",".join(
+        f"({i},{int(TS._MINHASH_A[i])}::UBIGINT,"
+        f"{int(TS._MINHASH_B[i])}::UBIGINT)"
+        for i in range(MINHASH_SIG_PERMS))
+    return rf"""
+WITH perms(perm, a, b) AS (SELECT * FROM (VALUES {vals})),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(arr) <= 3
+           THEN [array_to_string(arr, ' ')]
+           ELSE list_transform(generate_series(1, len(arr) - 2),
+                               i -> array_to_string(arr[i:i+2], ' ')) END))
+             AS s
+  FROM toks),
+x AS (
+  SELECT doc_id, xor(h64 & 4294967295::UBIGINT, h64 >> 32) AS x
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h64 FROM sh)),
+mins AS (
+  SELECT doc_id, perm, min((a * x + b) % 4294967311::UBIGINT) AS v
+  FROM x CROSS JOIN perms GROUP BY 1, 2)
+SELECT doc_id, md5(string_agg(v::VARCHAR, ',' ORDER BY perm)) AS sig_md5
+FROM mins GROUP BY doc_id
+"""
+
+
+MINHASH_SIG_SQL = _minhash_sig_sql()
 
 
 # ----------------------------------------------------- corpus top terms

@@ -80,7 +80,8 @@ def extract_media_fields(decoded: Dict, gray: np.ndarray, *,
 
     if not vintage_by_yolo and not out_vintage:
         sweep = T.sweep_year_from_texts(
-            ocr_engine.ocr_sweep(decoded, sweep_max_variants))
+            ocr_engine.ocr_sweep(decoded, sweep_max_variants,
+                                 gray=gray))
         if sweep:
             out_vintage = sweep
             raw["vintage_from_fallback"] = sweep

@@ -26,7 +26,8 @@ from ..functions.blobs import blob_fingerprint
 # `import wine_label_ocr_ray...` on the worker (ModuleNotFoundError
 # when the driver's cwd is not the repo).
 from ..functions.enhance import (align_vertically, find_label_roi,
-                                 find_label_roi_with_detections)
+                                 find_label_roi_with_detections,
+                                 sweep_variant_crops)
 from ..synth import decode_payload
 
 
@@ -49,22 +50,59 @@ class OcrEngine(ABC):
         """Full-image OCR (the fallback sweep's view): every text the
         image contains, including outside detection boxes."""
 
-    def ocr_sweep(self, decoded: Dict, max_variants: int = 75) -> List[str]:
+    def ocr_sweep(self, decoded: Dict, max_variants: int = 75,
+                  gray: Optional[np.ndarray] = None) -> List[str]:
         """M21 contract (``final_run_ocr.py:187-297``): the vintage
         fallback sweep's image-side fan-out — up to ``max_variants``
         OCR passes over preprocess-variant x region x rotation
         combinations of the image (the reference enumerates 5 x 5 x 3
         = 75), returning ALL collected texts for the text-side
         reduction (functions/text.py::sweep_year_from_texts).
+        ``gray`` is the decoded pixel image when the caller has one
+        (the media stage always does).
 
-        A production adapter (PaddleOCR etc.) implements the real
-        fan-out honoring the cap, reproducing the reference's sweep
-        recall and its ~75x worst-case cost skew (SURVEY.md section 4).
-        The default — and the synthetic engine — returns the
-        ``ocr_full`` view: the union of everything any variant could
-        read, which is exact for ground-truth-decoding engines."""
-        del max_variants
+        ``PixelSweepOcr`` below implements the real fan-out over the
+        numpy kernel ports — a production adapter (PaddleOCR etc.)
+        mixes it in and supplies only ``ocr_pixels``. The base default
+        — and the synthetic engine — returns the ``ocr_full`` view:
+        the union of everything any variant could read, which is
+        exact for ground-truth-decoding engines."""
+        del max_variants, gray
         return self.ocr_full(decoded)
+
+
+class PixelSweepOcr:
+    """The M21 image-side fan-out as engine-independent library code
+    (``final_run_ocr.py:187-297``): mix into an ``OcrEngine`` whose
+    backend reads pixels (a PaddleOCR adapter wraps its
+    ``_run_paddle_ocr`` as ``ocr_pixels``) and ``ocr_sweep`` runs the
+    real <=75-variant enumeration — 5 preprocess versions x 5 regions
+    x [unrotated, -5 deg, +5 deg], reference nesting order, hard cap
+    at ``max_variants`` — over the repo's numpy kernel ports
+    (``functions/enhance.py::sweep_variant_crops``). All texts are
+    returned; the exact text-side reduction
+    (``functions/text.py::sweep_year_from_texts``) picks the year,
+    preserving the reference's pattern-priority semantics without its
+    driver-side early-exit loop."""
+
+    def ocr_pixels(self, img: np.ndarray) -> List[str]:
+        """Every text the OCR backend reads in ``img``. The adapter's
+        single required hook."""
+        raise NotImplementedError(
+            "pixel-reading OCR backend required (e.g. PaddleOCR "
+            "adapter); the synthetic engine uses the ocr_full view")
+
+    def ocr_sweep(self, decoded: Dict, max_variants: int = 75,
+                  gray: Optional[np.ndarray] = None) -> List[str]:
+        if gray is None:
+            # no pixels available (text-only caller): fall back to the
+            # full-image view rather than silently returning nothing
+            return self.ocr_full(decoded)  # type: ignore[attr-defined]
+        texts: List[str] = []
+        for _ver, _reg, _ang, crop in sweep_variant_crops(
+                gray, max_variants):
+            texts.extend(self.ocr_pixels(crop))
+        return texts
 
 
 class BarcodeEngine(ABC):
