@@ -95,3 +95,45 @@ def test_blob_analyzer_flags():
     assert cropped["roi_shape"] != [80, 120]  # ROI crop applied
     aligned = BlobAnalyzer(30.0, skip_alignment=False).analyze(img)
     assert set(aligned.keys()) == set(base.keys())  # schema fixed
+
+
+def test_bilateral_preserves_edges_smooths_noise():
+    """M2's real bilateral (cv2 d=7, sigma 50/50): flat-region noise
+    shrinks while a hard step edge stays essentially unsmeared."""
+    rng = np.random.RandomState(7)
+    img = np.full((40, 60), 60.0)
+    img[:, 30:] = 200.0
+    noisy = np.clip(img + rng.randn(40, 60) * 8, 0, 255).astype(np.uint8)
+    out = E.bilateral_filter(noisy, 7, 50.0, 50.0)
+    assert out.shape == noisy.shape and out.dtype == np.uint8
+    # noise reduction in the flat left region
+    assert out[:, :25].std() < noisy[:, :25].std() * 0.6
+    # edge contrast preserved (gaussian of same support would blur it)
+    mid = np.abs(out[:, 31].astype(int) - out[:, 28].astype(int)).mean()
+    assert mid > 100
+    g = E.gaussian_blur(noisy, 2.0)
+    gmid = np.abs(g[:, 31] - g[:, 28]).mean()
+    assert mid > gmid
+
+
+def test_canny_hysteresis_and_nms():
+    """M12's real Canny: strong step survives as a thin line, flat
+    background is empty, and an isolated weak edge (between lo and hi,
+    not connected to any strong pixel) is suppressed by hysteresis."""
+    img = np.zeros((50, 80), dtype=np.uint8)
+    img[:, 40:] = 200                 # strong vertical step (mag ~800)
+    img[10, 5:15] = 20                # faint isolated line (mag < 150)
+    edges = E.canny(img, 50.0, 150.0)
+    assert set(np.unique(edges)) <= {0, 255}
+    col = edges[25, 35:45]
+    assert col.any()                  # the step is found
+    # NMS thins: at most 2 marked columns across the step
+    assert (edges[25] > 0).sum() <= 2
+    assert edges[10, 5:15].sum() == 0  # weak + unconnected -> dropped
+    assert edges[:8, :30].sum() == 0   # flat background clean
+    # a weak segment CONNECTED to a strong edge survives
+    img2 = np.zeros((50, 80), dtype=np.uint8)
+    img2[:25, 40:] = 200              # strong step, upper half
+    img2[25:, 40:] = 35               # weak step, lower half (mag ~140)
+    edges2 = E.canny(img2, 50.0, 150.0)
+    assert (edges2[35:45, 39:42] > 0).any()

@@ -3,15 +3,17 @@ reference's cv2 chains; exact cv2 bit-parity is NOT claimed — the
 formulas and parameters follow the cited call sites, and pipeline/
 oracle share these implementations).
 
-- ``edge_map``        -> ``Photo_Stitch.py:169-176`` (Canny+dilate ->
-  here gradient-magnitude threshold + 2x2 dilate)
+- ``canny``/``edge_map`` -> ``Photo_Stitch.py:169-176`` (full Canny
+  chain: Sobel, L1 magnitude, NMS, CC-based hysteresis; + 2x2 dilate)
+- ``bilateral_filter``-> cv2.bilateralFilter(7, 50, 50)
+  ``final_run_ocr.py:96`` (vectorized shifted-window passes)
 - ``clahe``           -> cv2.createCLAHE(2.0, 8x8) in
   ``final_run_ocr.py:94`` / ``Char_Count_TurnTable.py:63``
 - ``unsharp``         -> addWeighted(g,1.5,blur,-0.5) ``final_run_ocr.py:100-101``
 - ``adaptive_threshold`` -> adaptiveThreshold(GAUSSIAN, 31, 7)
   ``final_run_ocr.py:102-104``
 - ``enhance_for_ocr`` -> ``_enhance_for_ocr`` chain ``final_run_ocr.py:92-105``
-  (bilateral step approximated by a gaussian blur; documented divergence)
+  (INTER_CUBIC upscale approximated bilinear; documented divergence)
 - ``rotate_nearest``  -> imutils.rotate equivalent used by alignment
   (``hybrid.py:148-170``)
 - ``find_label_roi``  -> ``hybrid.py:102-146`` scoring heuristic
@@ -47,16 +49,97 @@ def gaussian_blur(gray: np.ndarray, sigma: float = 1.0) -> np.ndarray:
     return img
 
 
-def edge_map(gray: np.ndarray, threshold: float = 60.0) -> np.ndarray:
-    """Gradient-magnitude edge map + 2x2 dilate (stand-in for the
-    reference's Canny(50,150) + dilate, Photo_Stitch.py:169-176)."""
-    g = gaussian_blur(gray, 1.0)
-    gx = np.zeros_like(g)
-    gy = np.zeros_like(g)
-    gx[:, 1:-1] = g[:, 2:] - g[:, :-2]
-    gy[1:-1, :] = g[2:, :] - g[:-2, :]
-    mag = np.hypot(gx, gy)
-    edges = (mag > threshold)
+def bilateral_filter(gray: np.ndarray, d: int = 7,
+                     sigma_color: float = 50.0,
+                     sigma_space: float = 50.0) -> np.ndarray:
+    """Edge-preserving bilateral filter (cv2.bilateralFilter(d=7,
+    sigmaColor=50, sigmaSpace=50) in ``final_run_ocr.py:96``): each
+    output pixel is the window average weighted by BOTH spatial
+    distance and intensity difference, so edges stay sharp while flat
+    regions smooth. Vectorized as d*d shifted-window passes (49 for
+    d=7) — no per-pixel Python."""
+    r = d // 2
+    g = gray.astype(np.float64)
+    h, w = g.shape
+    padded = np.pad(g, r, mode="reflect")
+    ys, xs = np.mgrid[-r:r + 1, -r:r + 1]
+    space_w = np.exp(-(xs * xs + ys * ys) /
+                     (2.0 * sigma_space * sigma_space))
+    num = np.zeros_like(g)
+    den = np.zeros_like(g)
+    inv2sc = 1.0 / (2.0 * sigma_color * sigma_color)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = padded[r + dy:r + dy + h, r + dx:r + dx + w]
+            diff = shifted - g
+            wgt = space_w[dy + r, dx + r] * np.exp(-diff * diff * inv2sc)
+            num += wgt * shifted
+            den += wgt
+    return np.clip(num / den, 0, 255).astype(np.uint8)
+
+
+def _sobel(g: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """3x3 Sobel gradients with reflect padding (cv2 aperture 3)."""
+    p = np.pad(g, 1, mode="reflect")
+    h, w = g.shape
+    # horizontal derivative: smooth vertically [1,2,1], diff horizontally
+    gx = ((p[0:h, 2:] + 2 * p[1:h + 1, 2:] + p[2:, 2:]) -
+          (p[0:h, 0:w] + 2 * p[1:h + 1, 0:w] + p[2:, 0:w]))
+    gy = ((p[2:, 0:w] + 2 * p[2:, 1:w + 1] + p[2:, 2:]) -
+          (p[0:h, 0:w] + 2 * p[0:h, 1:w + 1] + p[0:h, 2:]))
+    return gx, gy
+
+
+def canny(gray: np.ndarray, lo: float = 50.0,
+          hi: float = 150.0) -> np.ndarray:
+    """Full Canny chain (cv2.Canny(g, 50, 150) in
+    ``Photo_Stitch.py:172``; exact cv2 bit-parity not claimed): 3x3
+    Sobel, L1 gradient magnitude (cv2's default L2gradient=False),
+    4-sector non-maximum suppression, and double-threshold hysteresis
+    — weak edges survive only in 8-connected components that contain
+    a strong edge (hysteresis via the repo's vectorized
+    connected-components labeling, not pixel BFS)."""
+    g = gray.astype(np.float64)
+    gx, gy = _sobel(g)
+    mag = np.abs(gx) + np.abs(gy)
+
+    # quantize gradient direction to 0/45/90/135 sectors and compare
+    # against the two neighbors along the gradient
+    angle = np.rad2deg(np.arctan2(gy, gx)) % 180.0
+    sector = np.zeros(g.shape, dtype=np.int8)
+    sector[(angle >= 22.5) & (angle < 67.5)] = 1
+    sector[(angle >= 67.5) & (angle < 112.5)] = 2
+    sector[(angle >= 112.5) & (angle < 157.5)] = 3
+    p = np.pad(mag, 1, mode="constant")
+    h, w = g.shape
+    nb = {
+        0: (p[1:h + 1, 2:], p[1:h + 1, 0:w]),      # E / W
+        1: (p[0:h, 2:], p[2:, 0:w]),               # NE / SW
+        2: (p[0:h, 1:w + 1], p[2:, 1:w + 1]),      # N / S
+        3: (p[0:h, 0:w], p[2:, 2:]),               # NW / SE
+    }
+    keep = np.zeros(g.shape, dtype=bool)
+    for s, (a, b) in nb.items():
+        m = sector == s
+        keep |= m & (mag >= a) & (mag >= b)
+    nms = np.where(keep, mag, 0.0)
+
+    strong = nms >= hi
+    weak = nms >= lo
+    if not strong.any():
+        return np.zeros(g.shape, dtype=np.uint8)
+    _, labels, _, _ = connected_components(weak.astype(np.uint8) * 255)
+    strong_labels = np.unique(labels[strong])
+    strong_labels = strong_labels[strong_labels > 0]
+    out = np.isin(labels, strong_labels)
+    return out.astype(np.uint8) * 255
+
+
+def edge_map(gray: np.ndarray, lo: float = 50.0,
+             hi: float = 150.0) -> np.ndarray:
+    """The reference's host-side edge map (``Photo_Stitch.py:169-176``):
+    Canny(50, 150) + 2x2 dilate for connectivity."""
+    edges = canny(gray, lo, hi) > 0
     return _binary_dilate(edges, KERNEL_2X2).astype(np.uint8) * 255
 
 
@@ -102,10 +185,12 @@ def enhance_for_ocr(gray: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     2x upscale if small -> unsharp -> adaptive threshold. Returns
     (sharp, binarized)."""
     g = clahe(gray, 2.0, (8, 8))
-    g = gaussian_blur(g, 1.0).astype(np.uint8)  # bilateral approximated
+    g = bilateral_filter(g, 7, 50.0, 50.0)
     h, w = g.shape
     if max(h, w) < 250:
-        g = np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
+        # cv2 uses INTER_CUBIC here; bilinear is the numpy stand-in
+        from .imaging import resize_bilinear
+        g = resize_bilinear(g, h * 2, w * 2)
     sharp = unsharp(g, 1.0, 1.5, 0.5)
     binar = adaptive_threshold(sharp, 31, 7.0)
     return sharp, binar
