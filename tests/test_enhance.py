@@ -137,3 +137,23 @@ def test_canny_hysteresis_and_nms():
     img2[25:, 40:] = 35               # weak step, lower half (mag ~140)
     edges2 = E.canny(img2, 50.0, 150.0)
     assert (edges2[35:45, 39:42] > 0).any()
+
+
+def test_turntable_preprocess_binarizes_with_close():
+    """M24 (Char_Count_TurnTable.py:62-70): CLAHE -> adaptive
+    threshold(35, 15) -> 2x2 close; output is 0/255 and single-pixel
+    holes inside text strokes are closed."""
+    img = _label_image()
+    out = E.turntable_preprocess(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert set(np.unique(out)) <= {0, 255}
+    # differs from the M2 binarization (different block/C + close)
+    _, m2_bin = E.enhance_for_ocr(img)
+    assert m2_bin.shape != out.shape or (m2_bin != out).any()
+    # closing removes isolated one-pixel holes: construct directly
+    m = np.ones((20, 20), dtype=np.uint8) * 255
+    m[10, 10] = 0
+    from wine_label_ocr_ray.functions.imaging import (KERNEL_2X2,
+                                                      binary_close)
+    closed = binary_close(m > 0, KERNEL_2X2)
+    assert closed[10, 10]

@@ -27,8 +27,8 @@ from typing import Tuple
 
 import numpy as np
 
-from .imaging import (KERNEL_2X2, _binary_dilate, connected_components,
-                      otsu_threshold)
+from .imaging import (KERNEL_2X2, _binary_dilate, binary_close,
+                      connected_components, otsu_threshold)
 
 
 def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
@@ -194,6 +194,17 @@ def enhance_for_ocr(gray: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     sharp = unsharp(g, 1.0, 1.5, 0.5)
     binar = adaptive_threshold(sharp, 31, 7.0)
     return sharp, binar
+
+
+def turntable_preprocess(gray: np.ndarray) -> np.ndarray:
+    """The M24 turntable OCR preprocess (``Char_Count_TurnTable.py:62-70``)
+    — distinct from the M2 chain: CLAHE(2.0, 8x8) -> gaussian adaptive
+    threshold with block=35, C=15 -> one 2x2 morphological CLOSE pass.
+    Returns the 0/255 binarized frame fed to the char-count OCR."""
+    g = clahe(gray, 2.0, (8, 8))
+    th = adaptive_threshold(g, 35, 15.0)
+    closed = binary_close(th > 0, KERNEL_2X2)
+    return (closed > 0).astype(np.uint8) * 255
 
 
 def rotate_nearest(img: np.ndarray, angle_deg: float) -> np.ndarray:
