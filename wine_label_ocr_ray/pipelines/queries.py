@@ -167,6 +167,7 @@ QUERIES = {
     "events_sliding": R.events_sliding,
     "events_window_range": R.events_window_range,
     "events_ema": R.events_ema,
+    "events_turntable_guidance": R.events_turntable_guidance,
     # documents: text analysis / fingerprints / dedup
     "doc_stats": D.doc_stats,
     "doc_quality": D.doc_quality,

@@ -713,3 +713,52 @@ SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
   FROM orders JOIN customer ON o_custkey = c_custkey)
 WHERE rn <= 3
 """
+
+
+# ------------------------------------------- turntable guidance replay
+
+# The reference's constants target a ~4 fps camera; this event stream
+# ticks in minutes, so the three TIME-valued knobs scale by 240x
+# (0.25 s -> 60 s, 5 s -> 20 min, 0.6 s -> 144 s) while the
+# count-valued thresholds (bump 1.0, drop 5.0, margin 3.0, absent 8)
+# stay the reference's.
+_GUIDANCE_TIME_SCALE = 240.0
+
+
+def events_turntable_guidance(sf_dir: str) -> pd.DataFrame:
+    """W1+W4-W8 (Char_Count_TurnTable.py:141-359) as a batch operator:
+    each user's event stream is replayed in (ts, event_id) order
+    through the full throttle / EMA / peak / phase-lock / unlock-
+    hysteresis / session-debounce machine, emitting one row per
+    detected session. Frame signals: present = event_type != 'error'
+    (the bottle-visible analog), count = value (the char-count
+    analog). Per-stream state is sequential by construction; the Ray
+    shape is the bucketed per-user map_groups. Rows-only (recursive
+    state machine, not SQL-expressible); pytest checks hand-traced
+    transitions and pipeline-vs-oracle equality."""
+    from ..functions.guidance import replay_guidance
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type",
+                             "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64) / 1e6
+        sessions = replay_guidance(
+            ts, (g["event_type"] != "error").to_numpy(),
+            g["value"].to_numpy(),
+            ocr_interval=0.25 * _GUIDANCE_TIME_SCALE,
+            window_sec=5.0 * _GUIDANCE_TIME_SCALE,
+            unlock_dwell=0.6 * _GUIDANCE_TIME_SCALE)
+        uid = int(g["user_id"].iloc[0])
+        rows = [{**s, "user_id": uid} for s in sessions]
+        cols = ["user_id", "session_id", "start_ts", "end_ts",
+                "n_frames", "n_ocr", "peak_count", "locked",
+                "first_lock_ts", "n_locks", "n_unlocks", "n_captures",
+                "captured"]
+        return pd.DataFrame(rows, columns=cols)
+
+    out = _grouped_by_user(ds, per_user).to_pandas()
+    return (out.sort_values(["user_id", "session_id"])
+               .reset_index(drop=True))
