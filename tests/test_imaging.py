@@ -87,3 +87,28 @@ def test_create_text_mask_enabled():
     assert info["method"] == "image_as_mask"
     assert 0.0 < info["foreground_ratio"] < 1.0
     assert mask[15, 15] == 255
+
+
+def test_choose_bottle_box_largest_above_threshold():
+    from wine_label_ocr_ray.functions.imaging import choose_bottle_box
+    dets = [
+        {"class": "bottle", "box": [0, 0, 10, 10], "confidence": 0.9},
+        {"class": "bottle", "box": [0, 0, 50, 40], "confidence": 0.5},
+        {"class": "bottle", "box": [0, 0, 90, 90], "confidence": 0.3},
+        {"class": "maker_name", "box": [0, 0, 99, 99], "confidence": 0.99},
+    ]
+    # biggest CONFIDENT bottle wins (the 90x90 one is below 0.4)
+    assert choose_bottle_box(dets) == (0, 0, 50, 40, 0.5)
+    assert choose_bottle_box([]) is None
+    assert choose_bottle_box(None) is None
+    assert choose_bottle_box(dets[3:]) is None  # wrong class
+
+
+def test_roi_from_bbox_centered_fractions():
+    from wine_label_ocr_ray.functions.imaging import roi_from_bbox
+    # 100x200 box at (10, 20): roi 1.0 x 0.9 centered -> 10px top inset
+    r = roi_from_bbox((480, 640), (10, 20, 110, 220))
+    assert r == (10, 30, 110, 210)
+    # min 10px floor on tiny boxes, clamped to the box
+    r2 = roi_from_bbox((480, 640), (0, 0, 4, 4))
+    assert r2[0] >= 0 and r2[2] <= 4

@@ -363,3 +363,45 @@ def stitch_horizontal(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
         scale = h1 / float(h2 if h2 else 1)
         img2 = resize_bilinear(img2, h1, max(1, int(w2 * scale)))
     return np.hstack((img1, img2))
+
+
+def choose_bottle_box(detections, *, bottle_class: str = "bottle",
+                      conf_threshold: float = 0.4):
+    """The T4 bottle-selection law (``Char_Count_TurnTable.py:97-112``):
+    among detections of the bottle class at confidence >= 0.40, pick
+    the LARGEST-AREA box (strictly greater wins, first seen kept on
+    ties). Returns (x1, y1, x2, y2, conf) ints+float, or None. The
+    YOLO model itself is a production adapter; this is the data-plane
+    selection the guidance loop consumes."""
+    best, best_area = None, 0
+    for det in detections or []:
+        if str(det.get("class", "")).lower() != bottle_class:
+            continue
+        conf = float(det.get("confidence", 0.0))
+        if conf < conf_threshold:
+            continue
+        x1, y1, x2, y2 = (int(v) for v in det["box"])
+        area = max(0, x2 - x1) * max(0, y2 - y1)
+        if area > best_area:
+            best_area = area
+            best = (x1, y1, x2, y2, conf)
+    return best
+
+
+def roi_from_bbox(img_shape, box, *, width_frac: float = 1.0,
+                  height_frac: float = 0.9):
+    """The M25 ROI law (``Char_Count_TurnTable.py:115-126``): a
+    width_frac x height_frac rectangle centered in the bottle box
+    (min 10 px per side), clamped to the box. Returns
+    (rx1, ry1, rx2, ry2); the caller slices its own image."""
+    x1, y1, x2, y2 = (int(v) for v in box[:4])
+    w, h = x2 - x1, y2 - y1
+    roi_w = int(max(10, width_frac * w))
+    roi_h = int(max(10, height_frac * h))
+    cx = x1 + w // 2
+    rx1 = max(x1, cx - roi_w // 2)
+    rx2 = min(x2, cx + roi_w // 2)
+    ry1 = max(y1 + (h - roi_h) // 2, y1)
+    ry2 = min(ry1 + roi_h, y2)
+    del img_shape  # reference clamps to the box, not the frame
+    return rx1, ry1, rx2, ry2
