@@ -109,6 +109,12 @@ def run_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
     qtimes = {}
     if os.environ.get("WLOR_BENCH_QUERIES") != "skip":
+        # spawn the worker pool before timing: otherwise the FIRST
+        # query (q1) silently absorbs ~4 s of process ramp that is
+        # session overhead, not query compute
+        import ray.data as rd
+        rd.range(num_cpus * 4, override_num_blocks=num_cpus) \
+            .map_batches(lambda b: b).materialize()
         for name in BENCH_QUERIES:
             t0 = time.time()
             out = QUERIES[name](sf_dir)
