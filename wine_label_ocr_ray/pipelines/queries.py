@@ -177,6 +177,7 @@ QUERIES = {
     "doc_sample": D.doc_sample,
     "doc_maker_norm": D.doc_maker_norm,
     "doc_top_terms": D.doc_top_terms,
+    "doc_tfidf_topk": D.doc_tfidf_topk,
     "doc_rolling_fingerprint": D.doc_rolling_fingerprint,
     # embeddings: similarity search / centroids / near-dup
     "embedding_norms": D.embedding_norms,
@@ -227,6 +228,7 @@ ORACLE_SQL = {
     "doc_sample": D.DOC_SAMPLE_SQL,
     "doc_maker_norm": D.DOC_MAKER_NORM_SQL,
     "doc_top_terms": D.DOC_TOP_TERMS_SQL,
+    "doc_tfidf_topk": D.DOC_TFIDF_SQL,
     "doc_rolling_fingerprint": D.DOC_ROLLING_FP_SQL,
     "embedding_dedup_exact": D.EMBEDDING_DEDUP_SQL,
     "embedding_norms": D.EMBEDDING_NORMS_SQL,

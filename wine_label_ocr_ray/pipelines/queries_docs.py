@@ -1291,3 +1291,86 @@ GROUP BY d.doc_id
 
 
 DOC_ROLLING_FP_SQL = _rolling_fp_sql()
+
+
+# ----------------------------------------------------- tf-idf ranking
+
+TFIDF_TERMS = ("hash", "join", "sort", "stream", "window")
+TFIDF_K = 20
+
+
+def doc_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF relevance ranking for a fixed query-term set — the
+    training-data relevance-scoring op. Scores are EXACT integers
+    (idf = floor(ln((N+1)/(df+1)) * 1e6 + 0.5), score = sum tf*idf_e6)
+    so the DuckDB oracle hash-matches with no float-summation-order
+    hazard.
+
+    100-TB shape: the map stage emits only (doc_id, term, tf) rows
+    RESTRICTED to the query terms (<= |terms| rows per doc — tiny),
+    that table is materialized once and reused for both the df
+    aggregate (|terms| rows) and the per-doc score groupby; the text
+    column is scanned exactly once and never shuffled."""
+    import math
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split()
+        ex = toks.explode().dropna()
+        d = pd.DataFrame({
+            "term": ex.to_numpy(),
+            "doc_id": df["doc_id"].reindex(ex.index).to_numpy()})
+        d = d[d["term"].isin(TFIDF_TERMS)]
+        agg = (d.groupby(["doc_id", "term"], sort=False).size()
+                .reset_index(name="tf"))
+        agg["tf"] = agg["tf"].astype("int64")
+        return agg
+
+    n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
+    df_t = tf.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    idf_e6 = {t: int(math.floor(
+        math.log((n_docs + 1) / (int(d) + 1)) * 1e6 + 0.5))
+        for t, d in zip(df_t["term"], df_t["df"])}
+
+    def score_parts(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "part": df["tf"].to_numpy() *
+            df["term"].map(idf_e6).to_numpy().astype(np.int64)})
+        return out
+
+    scored = (tf.map_batches(score_parts, batch_format="pandas")
+                .groupby("doc_id")
+                .aggregate(Sum("part", alias_name="score_e6"))
+                .sort(["score_e6", "doc_id"], descending=[True, False])
+                .limit(TFIDF_K)
+                .to_pandas())
+    scored["score_e6"] = scored["score_e6"].astype("int64")
+    scored["rank"] = np.arange(1, len(scored) + 1, dtype=np.int64)
+    return scored
+
+
+_TFIDF_IN = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
+
+DOC_TFIDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+  WHERE term IN ({_TFIDF_IN}) GROUP BY 1, 2),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+idf AS (
+  SELECT term,
+         floor(ln((n.n + 1)::DOUBLE / (count(DISTINCT tf.doc_id) + 1))
+               * 1000000 + 0.5)::BIGINT AS idf_e6
+  FROM tf, n GROUP BY term, n.n),
+scores AS (
+  SELECT tf.doc_id, sum(tf.tf * idf.idf_e6)::BIGINT AS score_e6
+  FROM tf JOIN idf USING (term) GROUP BY 1)
+SELECT doc_id, score_e6,
+       row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+FROM scores ORDER BY score_e6 DESC, doc_id LIMIT {TFIDF_K}
+"""
