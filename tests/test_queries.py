@@ -67,8 +67,8 @@ def test_rows_only_queries_run(ray_session):
         if hasattr(out, "to_pandas"):
             out = out.to_pandas()
         assert out is not None, name
-        if name == "simhash_fingerprints":
-            assert len(out) == 500
+        if name == "events_turntable_guidance":
+            assert len(out) > 0 and out["n_ocr"].ge(0).all()
 
 
 def test_minhash_subset_of_exact(ray_session):
