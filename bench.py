@@ -180,7 +180,12 @@ def run_scaling() -> dict:
                    WLOR_BENCH_RUNS="1",
                    # identical pool FRACTION at both levels (see
                    # run_bench) so the actor ratio is exactly 4x
-                   WLOR_POOL_FRACTION="0.75")
+                   WLOR_POOL_FRACTION="0.75",
+                   # the scaling harness gates trials with its OWN
+                   # adjacent canary; without this the plain-bench
+                   # default would run two more 20k canaries inside
+                   # every leg AND break the legs' time-adjacency
+                   WLOR_BENCH_CANARY="0")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -19,7 +19,6 @@ def _trace(counts, present=None, **kw):
     if present is None:
         present = np.ones(n, dtype=bool)
     kw.setdefault("ocr_interval", 1.0)
-    kw.setdefault("window_sec", 5.0)
     kw.setdefault("unlock_dwell", 2.0)
     return replay_guidance(ts, np.asarray(present), counts, **kw)
 
@@ -105,7 +104,6 @@ def test_query_matches_direct_replay(ray_session):
                 ts, (g["event_type"] != "error").to_numpy(),
                 g["value"].to_numpy(),
                 ocr_interval=0.25 * _GUIDANCE_TIME_SCALE,
-                window_sec=5.0 * _GUIDANCE_TIME_SCALE,
                 unlock_dwell=0.6 * _GUIDANCE_TIME_SCALE):
             rows.append({**s, "user_id": int(uid)})
     exp = pd.DataFrame(rows)[got.columns.tolist()] \

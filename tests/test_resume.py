@@ -173,3 +173,36 @@ def test_grouped_commit_equals_sequential(ray_session, corpus, tmp_path):
     t_seq = _read_sorted(s_dir)
     assert t_group.num_rows == t_seq.num_rows == 400
     assert t_group.equals(t_seq)
+
+
+def test_transitional_config_hash_accepted():
+    """Manifests written by the transitional version (which always
+    included engines/sweep_max_variants in the hash payload) must
+    still match under the default config — a resume after upgrade
+    must not re-execute every committed partition."""
+    from wine_label_ocr_ray.config import PipelineConfig
+    from wine_label_ocr_ray.stages.checkpoint import (
+        _accepted_config_hashes, _config_hash, _lineage,
+        _lineage_matches)
+    cfg = PipelineConfig()
+    canonical = _config_hash(cfg)
+    legacy = _config_hash(cfg, legacy_always_include=True)
+    assert canonical != legacy
+    assert _accepted_config_hashes(cfg) == {canonical, legacy}
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                     delete=False) as f:
+        f.write(b"x" * 10)
+        path = f.name
+    try:
+        lin = _lineage([path], cfg)
+        legacy_lin = dict(lin, config_hash=legacy)
+        assert _lineage_matches([path], cfg, lin)
+        assert _lineage_matches([path], cfg, legacy_lin)
+        assert not _lineage_matches([path], cfg,
+                                    dict(lin, config_hash="deadbeef"))
+        # non-default config: neither form of the DEFAULT hash matches
+        other = PipelineConfig(sweep_max_variants=10)
+        assert not _lineage_matches([path], other, lin)
+    finally:
+        os.unlink(path)

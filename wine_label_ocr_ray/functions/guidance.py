@@ -3,11 +3,13 @@ deterministic batch replay over an ordered per-stream frame sequence.
 
 The reference runs this interactively per camera frame
 (``Char_Count_TurnTable.py:141-359``): OCR-throttle (W1), EMA (W2),
-5 s sliding window (W3), peak tracker with bump threshold (W4), the
+peak tracker with bump threshold (W4), the
 ``SCAN_CLOCKWISE -> POST_PEAK_SEEK -> lock`` phase machine (W5),
 unlock hysteresis with margin + dwell (W6), presence/absence debounce
 for session start/end (W7), and the session lifecycle with
-capture-once-per-lock (W8). Every transition depends only on
+capture-once-per-lock (W8). The reference's W3 sliding window feeds
+only its HUD "range" readout — no transition reads it — so it is NOT
+replayed here; the standalone ``events_sliding`` query covers W3. Every transition depends only on
 ``(ts, present, count)`` — wall-clock enters solely through the
 frame timestamps — so the whole loop replays exactly over a recorded
 stream. The batch analog of the SPACE-key arm is "always armed":
@@ -17,7 +19,7 @@ a session starts on the first present frame (the reference's
 Constants default to the reference's values (``:20-46``). Each is a
 parameter because the reference tuned them for a ~4 fps camera; batch
 callers replaying slower event streams scale the three time-valued
-knobs (ocr_interval, window, unlock dwell) by their cadence while
+knobs (ocr_interval, unlock dwell) by their cadence while
 keeping the count-valued thresholds untouched.
 
 State is strictly sequential WITHIN a stream (lock/unlock feeds back
@@ -28,7 +30,6 @@ within one; per-stream cost is O(frames).
 
 from __future__ import annotations
 
-from collections import deque
 from typing import Dict, List
 
 import numpy as np
@@ -36,7 +37,6 @@ import numpy as np
 # Reference constants (Char_Count_TurnTable.py:20-46)
 OCR_INTERVAL = 0.25      # W1: seconds between OCR samples
 ALPHA = 0.25             # W2: EMA factor
-WINDOW_SEC = 5.0         # W3: sliding stats horizon
 PEAK_BUMP_MIN = 1.0      # W4: raise peak only if exceeded by this
 DROP_TO_START = 5.0      # W5: drop below peak -> POST_PEAK_SEEK
 MATCH_BAND = 0.0         # W5: accept [peak - band, peak] as centered
@@ -51,7 +51,6 @@ def replay_guidance(ts: np.ndarray, present: np.ndarray,
                     count: np.ndarray, *,
                     ocr_interval: float = OCR_INTERVAL,
                     alpha: float = ALPHA,
-                    window_sec: float = WINDOW_SEC,
                     peak_bump_min: float = PEAK_BUMP_MIN,
                     drop_to_start: float = DROP_TO_START,
                     match_band: float = MATCH_BAND,
@@ -65,7 +64,7 @@ def replay_guidance(ts: np.ndarray, present: np.ndarray,
 
     Mirrors ``Char_Count_TurnTable.py`` main-loop order exactly:
     presence counters -> immediate start -> absent auto-end ->
-    throttled OCR -> EMA/window -> peak bump -> phase/lock ->
+    throttled OCR -> EMA -> peak bump -> phase/lock ->
     capture-once -> unlock hysteresis."""
     out: List[Dict] = []
     in_session = False
@@ -78,13 +77,12 @@ def replay_guidance(ts: np.ndarray, present: np.ndarray,
     unlock_timer = None
     captured = False
     smoothed = None
-    window: deque = deque()
     last_ocr = -np.inf
     sess: Dict = {}
 
     def start_session(now: float) -> None:
         nonlocal in_session, phase, peak, lock, unlock_timer, captured
-        nonlocal smoothed, window, present_run, absent_run, sess
+        nonlocal smoothed, present_run, absent_run, sess
         in_session = True
         phase = "SCAN_CLOCKWISE"
         peak = None
@@ -92,7 +90,6 @@ def replay_guidance(ts: np.ndarray, present: np.ndarray,
         unlock_timer = None
         captured = False
         smoothed = None
-        window = deque()
         present_run = absent_run = 0
         sess = {"session_id": session_id, "start_ts": now, "end_ts": now,
                 "n_frames": 0, "n_ocr": 0, "first_lock_ts": None,
@@ -132,9 +129,6 @@ def replay_guidance(ts: np.ndarray, present: np.ndarray,
         cnt = float(count[i])
         smoothed = cnt if smoothed is None else \
             alpha * cnt + (1 - alpha) * smoothed
-        window.append((now, smoothed))
-        while window and now - window[0][0] > window_sec:
-            window.popleft()
         if peak is None or smoothed >= peak + peak_bump_min:
             peak = smoothed
         if not lock:

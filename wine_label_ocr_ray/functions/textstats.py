@@ -198,7 +198,7 @@ def minhash_bands(sig: np.ndarray, num_bands: int = 32) -> List[int]:
 
 def stable_hashes64(tokens: List[str]) -> np.ndarray:
     """``_stable_hash64`` over a flat token list -> uint64 array (one
-    hashlib call per token — blake2b itself is C; the point is that
+    hashlib call per token — md5 itself is C; the point is that
     callers hash a whole BATCH's tokens in one pass and feed the
     batched numpy kernels below)."""
     return np.fromiter((_stable_hash64(t) for t in tokens),

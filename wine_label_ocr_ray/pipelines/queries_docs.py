@@ -1229,10 +1229,16 @@ def embedding_dedup_exact(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def h(df: pd.DataFrame) -> pd.DataFrame:
-        keys = [hashlib.md5(
-                    np.ascontiguousarray(v, dtype=np.float32).tobytes()
-                ).hexdigest()
-                for v in df["embedding"]]
+        keys = []
+        for v in df["embedding"]:
+            a = np.ascontiguousarray(v, dtype=np.float32)
+            # canonicalize before hashing so byte-equality matches
+            # SQL VALUE-equality: -0.0 -> +0.0 (adding 0.0 flips the
+            # sign bit) and any NaN payload -> the canonical nan
+            a = a + np.float32(0.0)
+            if np.isnan(a).any():
+                a = np.where(np.isnan(a), np.float32(np.nan), a)
+            keys.append(hashlib.md5(a.tobytes()).hexdigest())
         return pd.DataFrame({"vec_hash": keys,
                              "vec_id": df["vec_id"].to_numpy()})
 
@@ -1302,16 +1308,17 @@ TFIDF_K = 20
 def doc_tfidf_topk(sf_dir: str) -> pd.DataFrame:
     """TF-IDF relevance ranking for a fixed query-term set — the
     training-data relevance-scoring op. Scores are EXACT integers
-    (idf = floor(ln((N+1)/(df+1)) * 1e6 + 0.5), score = sum tf*idf_e6)
-    so the DuckDB oracle hash-matches with no float-summation-order
-    hazard.
+    computed with pure integer arithmetic on BOTH sides:
+    idf_e6 = (1e6 * (N+1)) // (df+1) (linear inverse-document-
+    frequency weighting; the log variant is a one-line swap but would
+    hinge the oracle hash on cross-library libm ulp agreement),
+    score = sum tf*idf_e6 — no float ever enters the compared values.
 
     100-TB shape: the map stage emits only (doc_id, term, tf) rows
     RESTRICTED to the query terms (<= |terms| rows per doc — tiny),
     that table is materialized once and reused for both the df
     aggregate (|terms| rows) and the per-doc score groupby; the text
     column is scanned exactly once and never shuffled."""
-    import math
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -1329,9 +1336,8 @@ def doc_tfidf_topk(sf_dir: str) -> pd.DataFrame:
     n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
     tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
     df_t = tf.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
-    idf_e6 = {t: int(math.floor(
-        math.log((n_docs + 1) / (int(d) + 1)) * 1e6 + 0.5))
-        for t, d in zip(df_t["term"], df_t["df"])}
+    idf_e6 = {t: (1_000_000 * (n_docs + 1)) // (int(d) + 1)
+              for t, d in zip(df_t["term"], df_t["df"])}
 
     def score_parts(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
@@ -1364,8 +1370,8 @@ tf AS (
 n AS (SELECT count(*)::BIGINT AS n FROM documents),
 idf AS (
   SELECT term,
-         floor(ln((n.n + 1)::DOUBLE / (count(DISTINCT tf.doc_id) + 1))
-               * 1000000 + 0.5)::BIGINT AS idf_e6
+         (1000000 * (n.n + 1)) // (count(DISTINCT tf.doc_id) + 1)
+             AS idf_e6
   FROM tf, n GROUP BY term, n.n),
 scores AS (
   SELECT tf.doc_id, sum(tf.tf * idf.idf_e6)::BIGINT AS score_e6

@@ -718,10 +718,10 @@ WHERE rn <= 3
 # ------------------------------------------- turntable guidance replay
 
 # The reference's constants target a ~4 fps camera; this event stream
-# ticks in minutes, so the three TIME-valued knobs scale by 240x
-# (0.25 s -> 60 s, 5 s -> 20 min, 0.6 s -> 144 s) while the
-# count-valued thresholds (bump 1.0, drop 5.0, margin 3.0, absent 8)
-# stay the reference's.
+# ticks in minutes, so the TIME-valued knobs scale by 240x
+# (ocr_interval 0.25 s -> 60 s, unlock dwell 0.6 s -> 144 s) while
+# the count-valued thresholds (bump 1.0, drop 5.0, margin 3.0,
+# absent 8) stay the reference's.
 _GUIDANCE_TIME_SCALE = 240.0
 
 
@@ -749,7 +749,6 @@ def events_turntable_guidance(sf_dir: str) -> pd.DataFrame:
             ts, (g["event_type"] != "error").to_numpy(),
             g["value"].to_numpy(),
             ocr_interval=0.25 * _GUIDANCE_TIME_SCALE,
-            window_sec=5.0 * _GUIDANCE_TIME_SCALE,
             unlock_dwell=0.6 * _GUIDANCE_TIME_SCALE)
         uid = int(g["user_id"].iloc[0])
         rows = [{**s, "user_id": uid} for s in sessions]

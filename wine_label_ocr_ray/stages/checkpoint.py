@@ -46,21 +46,37 @@ _SEMANTIC_KEYS = ("confidence_threshold", "box_pad", "min_blob_area",
                   "blob_weights", "crop_label", "skip_alignment")
 
 
-def _config_hash(cfg: PipelineConfig) -> str:
+def _engine_id(eng) -> str:
+    return eng if isinstance(eng, str) else \
+        f"{getattr(eng, '__module__', '?')}.{getattr(eng, '__qualname__', repr(eng))}"
+
+
+def _config_hash(cfg: PipelineConfig, *,
+                 legacy_always_include: bool = False) -> str:
+    """Canonical form OMITS keys at their dataclass defaults (read
+    from PipelineConfig, not hardcoded) so manifests written before
+    those keys existed keep hashing identically. The
+    ``legacy_always_include`` form reproduces the transitional hash
+    that DID always include them; resume accepts either (see
+    ``_accepted_config_hashes``) so no upgrade invalidates committed
+    partitions."""
+    from dataclasses import fields
+    defaults = {f.name: f.default for f in fields(PipelineConfig)}
     d = asdict(cfg)
     payload = {k: d[k] for k in _SEMANTIC_KEYS}
-    # engine choice is semantic; identify callables stably by qualname.
-    # Default values are OMITTED from the payload so manifests written
-    # before these keys existed keep hashing identically (a resume
-    # after upgrade must not invalidate every committed partition).
-    eng = cfg.engines
-    if not (isinstance(eng, str) and eng == "synthetic"):
-        payload["engines"] = eng if isinstance(eng, str) else \
-            f"{getattr(eng, '__module__', '?')}.{getattr(eng, '__qualname__', repr(eng))}"
-    if cfg.sweep_max_variants != 75:
+    eng_id = _engine_id(cfg.engines)
+    if legacy_always_include or eng_id != _engine_id(defaults["engines"]):
+        payload["engines"] = eng_id
+    if legacy_always_include or \
+            cfg.sweep_max_variants != defaults["sweep_max_variants"]:
         payload["sweep_max_variants"] = cfg.sweep_max_variants
     return hashlib.sha1(json.dumps(payload, sort_keys=True,
                                    default=str).encode()).hexdigest()[:12]
+
+
+def _accepted_config_hashes(cfg: PipelineConfig) -> set:
+    return {_config_hash(cfg),
+            _config_hash(cfg, legacy_always_include=True)}
 
 
 def _lineage(doc_files: List[str], cfg: PipelineConfig) -> Dict:
@@ -86,7 +102,12 @@ def _lineage_matches(files: List[str], cfg: PipelineConfig,
     TypeError) means the manifest no longer matches reality — treat as
     a mismatch and re-execute, never crash the resume scan."""
     try:
-        return prior_lineage == _lineage(files, cfg)
+        prior_hash = prior_lineage.get("config_hash")
+        if prior_hash not in _accepted_config_hashes(cfg):
+            return False
+        expect = _lineage(files, cfg)
+        expect["config_hash"] = prior_hash  # either accepted form
+        return prior_lineage == expect
     except (FileNotFoundError, OSError, TypeError, KeyError, ValueError):
         return False
 

@@ -300,7 +300,6 @@ def decide_distributed(probe_ds, db_ds, *, maker_threshold: int = 85,
     import functools
 
     import pyarrow.compute as pc
-    import ray.data
     from ray.data.aggregate import Count
 
     db_count = db_ds.count()
@@ -317,7 +316,7 @@ def decide_distributed(probe_ds, db_ds, *, maker_threshold: int = 85,
         return probe_ds.map_batches(empty_dec, batch_format="pyarrow")
 
     # --- exact leg: bucketed cogroup on key -------------------------
-    def tag(role: str, with_kb: bool):
+    def tag(role: str):
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
             cols = {
@@ -338,7 +337,7 @@ def decide_distributed(probe_ds, db_ds, *, maker_threshold: int = 85,
 
     db_exact = db_ds.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(t["key"], "|"))),
-        batch_format="pyarrow").map_batches(tag("d", True),
+        batch_format="pyarrow").map_batches(tag("d"),
                                             batch_format="pyarrow")
     probes_tagged = probe_ds.map_batches(
         lambda t: t.append_column(
@@ -346,7 +345,7 @@ def decide_distributed(probe_ds, db_ds, *, maker_threshold: int = 85,
                 pc.cast(t["maker_norm"], pa.string()),
                 pc.coalesce(pc.cast(t["vintage_str"], pa.string()), ""),
                 "|")),
-        batch_format="pyarrow").map_batches(tag("p", True),
+        batch_format="pyarrow").map_batches(tag("p"),
                                             batch_format="pyarrow")
 
     # three downstream branches (exact hits / blocked / fallback) read

@@ -79,9 +79,18 @@ def extract_media_fields(decoded: Dict, gray: np.ndarray, *,
             raw.setdefault(cls_lower, []).append((txt, conf))
 
     if not vintage_by_yolo and not out_vintage:
-        sweep = T.sweep_year_from_texts(
-            ocr_engine.ocr_sweep(decoded, sweep_max_variants,
-                                 gray=gray))
+        # adapters written against the original 2-arg ocr_sweep
+        # signature must keep working: pass gray only if accepted
+        import inspect
+        try:
+            takes_gray = "gray" in inspect.signature(
+                ocr_engine.ocr_sweep).parameters
+        except (TypeError, ValueError):
+            takes_gray = False
+        texts = ocr_engine.ocr_sweep(decoded, sweep_max_variants,
+                                     gray=gray) if takes_gray else \
+            ocr_engine.ocr_sweep(decoded, sweep_max_variants)
+        sweep = T.sweep_year_from_texts(texts)
         if sweep:
             out_vintage = sweep
             raw["vintage_from_fallback"] = sweep
