@@ -185,6 +185,7 @@ QUERIES = {
     "knn_cosine_topk": D.knn_cosine_topk,
     "cosine_dup_pairs": D.cosine_dup_pairs,
     "embedding_dedup_exact": D.embedding_dedup_exact,
+    "embedding_lang_centroids": D.embedding_lang_centroids,
     # sketches with exact SQL twins (md5-derived token hashes)
     "simhash_fingerprints": D.simhash_fingerprints,
     "simhash_near_dup": D.simhash_near_dup,
@@ -229,6 +230,7 @@ ORACLE_SQL = {
     "doc_maker_norm": D.DOC_MAKER_NORM_SQL,
     "doc_top_terms": D.DOC_TOP_TERMS_SQL,
     "doc_tfidf_topk": D.DOC_TFIDF_SQL,
+    "embedding_lang_centroids": D.EMBEDDING_LANG_CENTROIDS_SQL,
     "doc_rolling_fingerprint": D.DOC_ROLLING_FP_SQL,
     "embedding_dedup_exact": D.EMBEDDING_DEDUP_SQL,
     "embedding_norms": D.EMBEDDING_NORMS_SQL,

@@ -1380,3 +1380,94 @@ SELECT doc_id, score_e6,
        row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
 FROM scores ORDER BY score_e6 DESC, doc_id LIMIT {TFIDF_K}
 """
+
+
+# ---------------------------------------- cross-table lang centroids
+
+def embedding_lang_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-LANGUAGE embedding centroid — the documents x embeddings
+    fact-fact join: each document's predicted language (the same
+    marker heuristic as doc_lang_id) is a skinny derived dimension
+    hash-joined to its embedding row on id, then per-batch partial
+    sums per language -> tiny grouped combine.
+
+    100-TB shape: only (id, lang) rows and the vectors cross the join
+    exchange once (keyed by id, partitions sized by join_partitions);
+    the dimension-exploded sums are reduced per batch BEFORE the
+    combine, so the wide groupby carries |langs| x dims rows total.
+    Vectors travel through the join PACKED as fixed-size binary —
+    Acero's hash join does not carry list-typed payload columns, and
+    the packed form is also 4x smaller than the float64 list."""
+    from ._qutil import join_partitions
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lang_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vec_id": df["doc_id"],
+                             "pred_lang": df["text"].map(TS.lang_id)})
+
+    langs = docs.map_batches(lang_rows, batch_format="pandas")
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "vec_bin": pa.array([], pa.binary())})
+        emb_col = t["embedding"]
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        m = emb_col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float32).reshape(len(t), -1)
+        vec_bin = pa.Array.from_buffers(
+            pa.binary(4 * m.shape[1]), len(t),
+            [None, pa.py_buffer(np.ascontiguousarray(m).tobytes())])
+        return pa.table({"vec_id": t["vec_id"], "vec_bin": vec_bin})
+
+    joined = (emb.map_batches(pack, batch_format="pyarrow")
+                 .join(langs, join_type="inner",
+                       num_partitions=join_partitions(), on=("vec_id",)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pred_lang": pa.array([], pa.string()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        b = t["vec_bin"]
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        width = b.type.byte_width
+        m = np.frombuffer(b.buffers()[1], dtype=np.float32,
+                          count=len(t) * (width // 4),
+                          offset=b.offset * width
+                          ).reshape(len(t), -1).astype(np.float64)
+        labels = np.asarray(t["pred_lang"].to_pylist())
+        labs, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(labs), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(labs))
+        d = m.shape[1]
+        return pa.table({
+            "pred_lang": pa.array(np.repeat(labs, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(labs))),
+            "s": pa.array(sums.ravel()),
+            "c": pa.array(np.repeat(counts, d).astype(np.int64))})
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["pred_lang", "dim"])
+                 .aggregate(Sum("s", alias_name="s"),
+                            Sum("c", alias_name="c"))
+                 .to_pandas())
+    out["avg_val"] = np.round(out["s"] / out["c"], 6)
+    return out[["pred_lang", "dim", "avg_val"]]
+
+
+EMBEDDING_LANG_CENTROIDS_SQL = f"""
+WITH lang AS ({DOC_LANG_ID_SQL})
+SELECT pred_lang, dim, round(avg(ev), 6) AS avg_val
+FROM (SELECT l.pred_lang,
+             unnest(emb.embedding::DOUBLE[]) AS ev,
+             unnest(generate_series(1, len(emb.embedding))) AS dim
+      FROM embeddings emb JOIN lang l ON emb.vec_id = l.doc_id)
+GROUP BY 1, 2
+"""
