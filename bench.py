@@ -284,7 +284,7 @@ def _record_baseline(result: dict) -> None:
             f"{result['valid_trials']} (canary within 25% of the "
             f"quietest) are the VALID set used for the medians; "
             f"{result['attempts']} attempts total.\n")
-    block = (f"{marker}\n\n"
+    block = (f"### {lo}v{hi} @{result['bench_docs']} run (appended by bench.py --scaling)\n\n"
              f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} valid of {result['attempts']} interleaved trials) |\n"
              f"|---|---|---|---|\n"
              f"| N | num_cpus={lo} | {result['docs_per_sec_lo']} | median {result['sec_lo']} over valid trials; all samples {result['sec_lo_samples']} |\n"
@@ -294,8 +294,10 @@ def _record_baseline(result: dict) -> None:
     try:
         with open(path) as f:
             content = f.read()
-        if marker in content:
-            content = content[:content.index(marker)]
+        # APPEND each run under the marker — never truncate: earlier
+        # recorded runs are part of the audit trail and must survive
+        if marker not in content:
+            content = content.rstrip() + "\n\n" + marker + "\n"
         with open(path, "w") as f:
             f.write(content.rstrip() + "\n\n" + block)
     except OSError:
