@@ -211,20 +211,26 @@ def run_scaling() -> dict:
                                       str(2 * trials)))
 
     def valid_idx(canaries):
-        """Trial indices whose adjacent canary is within 25% of the
-        quietest canary observed (retrospective environment gate)."""
+        """Trial indices whose BRACKETING canaries (before AND after
+        the trial's two legs) are both within 25% of the quietest
+        canary observed. Gating on the worse of the pair closes the
+        blind spot Run C (BASELINE.md) exposed: co-tenant load that
+        returns between a quiet pre-gate and the multi-minute legs."""
         if not canaries:
             return []
-        best = min(canaries)
-        return [i for i, c in enumerate(canaries) if c <= 1.25 * best]
+        flat = [c for pair in canaries for c in pair]
+        best = min(flat)
+        return [i for i, pair in enumerate(canaries)
+                if max(pair) <= 1.25 * best]
 
     runs = {lo: [], hi: []}
     canaries = []
     for attempt in range(max_attempts):
-        if use_canary:
-            canaries.append(round(canary(), 3))
+        pre = round(canary(), 3) if use_canary else None
         for ncpu in (lo, hi):
             runs[ncpu].append(run(ncpu))
+        if use_canary:
+            canaries.append((pre, round(canary(), 3)))
         done = len(valid_idx(canaries)) if use_canary \
             else len(runs[lo])
         if done >= trials:
@@ -279,11 +285,11 @@ def _record_baseline(result: dict) -> None:
     canary_note = ""
     if result.get("canary_samples"):
         canary_note = (
-            f"\nCanary gate: 20k-doc 32-cpu control before each trial; "
-            f"samples {result['canary_samples']} s — trials "
-            f"{result['valid_trials']} (canary within 25% of the "
-            f"quietest) are the VALID set used for the medians; "
-            f"{result['attempts']} attempts total.\n")
+            f"\nCanary gate: 20k-doc 32-cpu control BRACKETING each "
+            f"trial (before, after); pairs {result['canary_samples']} "
+            f"s — trials {result['valid_trials']} (worse of the pair "
+            f"within 25% of the quietest) are the VALID set used for "
+            f"the medians; {result['attempts']} attempts total.\n")
     block = (f"### {lo}v{hi} @{result['bench_docs']} run (appended by bench.py --scaling)\n\n"
              f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} valid of {result['attempts']} interleaved trials) |\n"
              f"|---|---|---|---|\n"
