@@ -245,6 +245,10 @@ def run_scaling() -> dict:
     secs_hi_all = [r["value"] for r in runs[hi]]
     vidx = valid_idx(canaries) if use_canary \
         else list(range(len(secs_lo_all)))
+    if not vidx:
+        # every attempt failed the environment gate: report medians
+        # over ALL samples, clearly labeled invalid, rather than crash
+        vidx = list(range(len(secs_lo_all)))
     secs_lo = [secs_lo_all[i] for i in vidx]
     secs_hi = [secs_hi_all[i] for i in vidx]
     t_lo, t_hi = median(secs_lo), median(secs_hi)

@@ -78,3 +78,29 @@ def test_scaling_gate_brackets_and_appends(bench, tmp_path, monkeypatch):
     assert "### old run" in text          # NOT truncated
     assert "### 8v32 @300000 run" in text  # new section appended
     assert "BRACKETING" in text
+
+def test_scaling_all_trials_invalid_does_not_crash(bench, tmp_path,
+                                                   monkeypatch):
+    """If every attempt fails the canary gate, the harness must fall
+    back to all-sample medians instead of crashing on median([])."""
+    canary_seq = iter([12.0, 40.0, 12.0, 40.0])
+    monkeypatch.setattr(bench, "run_canary", lambda: next(canary_seq))
+    legs = iter([400.0, 200.0, 420.0, 210.0])
+
+    class FakeProc:
+        def __init__(self, val):
+            self.stdout = json.dumps({
+                "metric": "flagship_extract_sec", "value": val,
+                "unit": "sec", "queries": {}, "sf": "x",
+                "num_cpus": 0, "bench_docs": 300000,
+                "docs_per_sec": 300000 / val}) + "\n"
+
+    monkeypatch.setattr(bench.subprocess, "run",
+                        lambda cmd, **kw: FakeProc(next(legs)))
+    monkeypatch.setenv("WLOR_SCALING_TRIALS", "2")
+    monkeypatch.setenv("WLOR_SCALING_MAX_ATTEMPTS", "2")
+    monkeypatch.setenv("WLOR_SCALING_LO", "8")
+    monkeypatch.setenv("WLOR_SCALING_HI", "32")
+    result = bench.run_scaling()
+    assert result["trials"] == 2          # fell back to all samples
+    assert result["value"] == pytest.approx((410 / 205) / 4, abs=0.001)
