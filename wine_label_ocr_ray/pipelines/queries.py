@@ -101,6 +101,31 @@ def media_decode_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def media_frame_stats(sf_dir: str) -> pd.DataFrame:
+    """Multimodal frame-sampling plumbing: actor-pool video stage over
+    the derived corpus's media payloads (deterministic fake decode;
+    real ffmpeg backends plug into DecodeBackend.sample_frames)."""
+    import numpy as np
+
+    from ..stages.multimodal import video_frame_features
+    from ..synth import derive_corpus_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus = derive_corpus_from_documents(
+        os.path.join(sf_dir, "documents.parquet"),
+        f"/tmp/wlor_corpus_{tag}", seed=42)
+    feats = video_frame_features(
+        os.path.join(corpus, "media")).to_pandas()
+    return pd.DataFrame({
+        "n_videos": [len(feats)],
+        "n_frames": [int(feats.n_frames.iloc[0])] if len(feats) else [0],
+        "avg_temporal_delta": [round(float(np.mean(feats.temporal_delta)),
+                                     4)],
+        "max_frame_mean": [round(float(max(m for row in feats.frame_means
+                                           for m in row)), 4)],
+    })
+
+
 def flagship_extract_full(sf_dir: str):
     """Flagship records including the blob struct (internal helper for
     blob_near_dup; not registered — nested outputs stress the driver's
@@ -200,6 +225,7 @@ QUERIES = {
     "dedup_decision": dedup_decision,
     "blob_near_dup": blob_near_dup,
     "media_decode_stats": media_decode_stats,
+    "media_frame_stats": media_frame_stats,
     "media_stitch": media_stitch,
 }
 

@@ -112,3 +112,53 @@ def image_features(media_path: str, *, backend: str = "fake",
                           fn_constructor_kwargs=dict(backend=backend),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: video payload binary -> frame-sampled
+    features. Samples ``n_frames`` frames per payload via the backend
+    (ffmpeg in production, the deterministic fake here), reduces each
+    frame to its mean intensity, and emits per-video temporal
+    features: per-frame means, and the mean absolute delta between
+    consecutive frames (a scene-motion proxy). Backend constructed
+    once per actor; batches stay small because video rows are large."""
+
+    def __init__(self, backend: str = "fake", n_frames: int = 4):
+        if backend == "fake":
+            self.backend: DecodeBackend = DeterministicFakeBackend()
+        else:
+            self.backend = DecodeBackend()  # raises on first use
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        means, deltas = [], []
+        for p in payloads:
+            frames = self.backend.sample_frames(p, self.n_frames)
+            fm = frames.reshape(len(frames), -1).mean(axis=1)
+            means.append([round(float(v), 4) for v in fm])
+            deltas.append(round(float(np.abs(np.diff(fm)).mean()), 4)
+                          if len(fm) > 1 else 0.0)
+        return (batch.drop_columns(["payload"])
+                .append_column("n_frames", pa.array(
+                    [self.n_frames] * len(payloads), pa.int32()))
+                .append_column("frame_means", pa.array(
+                    means, pa.list_(pa.float64())))
+                .append_column("temporal_delta",
+                               pa.array(deltas, pa.float64())))
+
+
+def video_frame_features(media_path: str, *, backend: str = "fake",
+                         n_frames: int = 4, batch_size: int = 32,
+                         concurrency: int = 2):
+    """media parquet (media_ref, payload) -> frame-sampled features."""
+    import ray.data as rd
+
+    from .._rayprep import ensure_serializable
+    ensure_serializable()
+    ds = rd.read_parquet(media_path)
+    return ds.map_batches(VideoFrameSampleStage,
+                          fn_constructor_kwargs=dict(
+                              backend=backend, n_frames=n_frames),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
