@@ -225,12 +225,18 @@ def run_scaling() -> dict:
 
     runs = {lo: [], hi: []}
     canaries = []
+    prev_post = None
     for attempt in range(max_attempts):
-        pre = round(canary(), 3) if use_canary else None
+        # nothing executes between attempt i's post-canary and attempt
+        # i+1's first leg, so the post doubles as the next pre —
+        # identical bracketing semantics, one fewer ~15 s control run
+        pre = (prev_post if prev_post is not None
+               else round(canary(), 3)) if use_canary else None
         for ncpu in (lo, hi):
             runs[ncpu].append(run(ncpu))
         if use_canary:
-            canaries.append((pre, round(canary(), 3)))
+            prev_post = round(canary(), 3)
+            canaries.append((pre, prev_post))
         done = len(valid_idx(canaries)) if use_canary \
             else len(runs[lo])
         if done >= trials:
@@ -245,9 +251,12 @@ def run_scaling() -> dict:
     secs_hi_all = [r["value"] for r in runs[hi]]
     vidx = valid_idx(canaries) if use_canary \
         else list(range(len(secs_lo_all)))
+    all_trials_invalid = False
     if not vidx:
         # every attempt failed the environment gate: report medians
-        # over ALL samples, clearly labeled invalid, rather than crash
+        # over ALL samples, flagged invalid in the JSON AND the
+        # BASELINE note, rather than crash or masquerade as valid
+        all_trials_invalid = True
         vidx = list(range(len(secs_lo_all)))
     secs_lo = [secs_lo_all[i] for i in vidx]
     secs_hi = [secs_hi_all[i] for i in vidx]
@@ -266,6 +275,7 @@ def run_scaling() -> dict:
         "sec_lo_samples": secs_lo_all, "sec_hi_samples": secs_hi_all,
         "canary_samples": canaries,
         "valid_trials": vidx,
+        "all_trials_invalid": all_trials_invalid,
         "eff_samples": [round((a / b) / ratio, 3)
                         for a, b in zip(secs_lo_all, secs_hi_all)],
         "docs_per_sec_lo": round(bench_docs / t_lo, 1),
@@ -288,12 +298,23 @@ def _record_baseline(result: dict) -> None:
     rlab = f"{ratio:g}N"
     canary_note = ""
     if result.get("canary_samples"):
-        canary_note = (
-            f"\nCanary gate: 20k-doc 32-cpu control BRACKETING each "
-            f"trial (before, after); pairs {result['canary_samples']} "
-            f"s — trials {result['valid_trials']} (worse of the pair "
-            f"within 25% of the quietest) are the VALID set used for "
-            f"the medians; {result['attempts']} attempts total.\n")
+        if result.get("all_trials_invalid"):
+            canary_note = (
+                f"\nCanary gate: 20k-doc 32-cpu control BRACKETING "
+                f"each trial (before, after); pairs "
+                f"{result['canary_samples']} s — EVERY trial FAILED "
+                f"the gate (worse-of-pair > 1.25x the quietest): the "
+                f"medians above are over all {result['attempts']} "
+                f"gate-FAILED attempts and this run is NOT a valid "
+                f"measurement of the engine.\n")
+        else:
+            canary_note = (
+                f"\nCanary gate: 20k-doc 32-cpu control BRACKETING "
+                f"each trial (before, after); pairs "
+                f"{result['canary_samples']} s — trials "
+                f"{result['valid_trials']} (worse of the pair within "
+                f"25% of the quietest) are the VALID set used for "
+                f"the medians; {result['attempts']} attempts total.\n")
     block = (f"### {lo}v{hi} @{result['bench_docs']} run (appended by bench.py --scaling)\n\n"
              f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} valid of {result['attempts']} interleaved trials) |\n"
              f"|---|---|---|---|\n"
@@ -302,8 +323,11 @@ def _record_baseline(result: dict) -> None:
              f"| efficiency | (T_{rlab}/T_N)/{ratio:g} | **{result['value']}** (medians over valid trials; per-trial {result['eff_samples']}) | target >= 0.8 |\n"
              + canary_note)
     try:
-        with open(path) as f:
-            content = f.read()
+        try:
+            with open(path) as f:
+                content = f.read()
+        except FileNotFoundError:
+            content = ""
         # APPEND each run under the marker — never truncate: earlier
         # recorded runs are part of the audit trail and must survive
         if marker not in content:

@@ -116,9 +116,13 @@ def media_frame_stats(sf_dir: str) -> pd.DataFrame:
         f"/tmp/wlor_corpus_{tag}", seed=42)
     feats = video_frame_features(
         os.path.join(corpus, "media")).to_pandas()
+    if feats.empty:
+        return pd.DataFrame({"n_videos": [0], "n_frames": [0],
+                             "avg_temporal_delta": [0.0],
+                             "max_frame_mean": [0.0]})
     return pd.DataFrame({
         "n_videos": [len(feats)],
-        "n_frames": [int(feats.n_frames.iloc[0])] if len(feats) else [0],
+        "n_frames": [int(feats.n_frames.iloc[0])],
         "avg_temporal_delta": [round(float(np.mean(feats.temporal_delta)),
                                      4)],
         "max_frame_mean": [round(float(max(m for row in feats.frame_means

@@ -264,6 +264,25 @@ FROM embeddings
 """
 
 
+def _centroid_partials(labels: np.ndarray, m: np.ndarray,
+                       name: str) -> pa.Table:
+    """Per-batch partial centroid table: (label, dim 1-based, sum,
+    count) rows via np.unique + np.add.at — shared by
+    embedding_centroids and embedding_lang_centroids so the partial
+    algebra (dim convention, casts) has one home."""
+    labs, inv = np.unique(labels, return_inverse=True)
+    sums = np.zeros((len(labs), m.shape[1]), dtype=np.float64)
+    np.add.at(sums, inv, m)
+    counts = np.bincount(inv, minlength=len(labs))
+    d = m.shape[1]
+    return pa.table({
+        name: pa.array(np.repeat(labs, d)),
+        "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                len(labs))),
+        "s": pa.array(sums.ravel()),
+        "c": pa.array(np.repeat(counts, d).astype(np.int64))})
+
+
 def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     """Per-label centroid, one row per (label, dim). Pattern: per-batch
     PARTIAL sums (vectorized) -> tiny grouped combine — the
@@ -276,18 +295,9 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
             emb = emb.combine_chunks()
         m = emb.flatten().to_numpy(zero_copy_only=False).astype(
             np.float64).reshape(len(t), -1)
-        labels = t["label"].to_numpy(zero_copy_only=False)
-        labs, inv = np.unique(labels, return_inverse=True)
-        sums = np.zeros((len(labs), m.shape[1]), dtype=np.float64)
-        np.add.at(sums, inv, m)
-        counts = np.bincount(inv, minlength=len(labs))
-        D = m.shape[1]
-        return pa.table({
-            "label": pa.array(np.repeat(labs.astype(np.int64), D)),
-            "dim": pa.array(np.tile(np.arange(1, D + 1, dtype=np.int64),
-                                    len(labs))),
-            "s": pa.array(sums.ravel()),
-            "c": pa.array(np.repeat(counts, D).astype(np.int64))})
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return _centroid_partials(labels, m, "label")
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["label", "dim"])
@@ -1407,18 +1417,29 @@ def embedding_lang_centroids(sf_dir: str) -> pd.DataFrame:
 
     langs = docs.map_batches(lang_rows, batch_format="pandas")
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # the embedding dim, read once driver-side (limit-pushdown scan of
+    # one row), so EVERY packed block — including empty ones — carries
+    # the same fixed_size_binary[4*dim] type (a mixed binary()/
+    # fixed_size_binary schema fails block unification)
+    first = emb.take(1)
+    if not first:
+        return pd.DataFrame({"pred_lang": pd.Series([], dtype=object),
+                             "dim": pd.Series([], dtype="int64"),
+                             "avg_val": pd.Series([], dtype="float64")})
+    dim = len(first[0]["embedding"])
+    bin_type = pa.binary(4 * dim)
 
     def pack(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "vec_bin": pa.array([], pa.binary())})
+                             "vec_bin": pa.array([], bin_type)})
         emb_col = t["embedding"]
         if isinstance(emb_col, pa.ChunkedArray):
             emb_col = emb_col.combine_chunks()
         m = emb_col.flatten().to_numpy(zero_copy_only=False).astype(
-            np.float32).reshape(len(t), -1)
+            np.float32).reshape(len(t), dim)
         vec_bin = pa.Array.from_buffers(
-            pa.binary(4 * m.shape[1]), len(t),
+            bin_type, len(t),
             [None, pa.py_buffer(np.ascontiguousarray(m).tobytes())])
         return pa.table({"vec_id": t["vec_id"], "vec_bin": vec_bin})
 
@@ -1440,18 +1461,8 @@ def embedding_lang_centroids(sf_dir: str) -> pd.DataFrame:
                           count=len(t) * (width // 4),
                           offset=b.offset * width
                           ).reshape(len(t), -1).astype(np.float64)
-        labels = np.asarray(t["pred_lang"].to_pylist())
-        labs, inv = np.unique(labels, return_inverse=True)
-        sums = np.zeros((len(labs), m.shape[1]), dtype=np.float64)
-        np.add.at(sums, inv, m)
-        counts = np.bincount(inv, minlength=len(labs))
-        d = m.shape[1]
-        return pa.table({
-            "pred_lang": pa.array(np.repeat(labs, d)),
-            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
-                                    len(labs))),
-            "s": pa.array(sums.ravel()),
-            "c": pa.array(np.repeat(counts, d).astype(np.int64))})
+        labels = t["pred_lang"].to_numpy(zero_copy_only=False)
+        return _centroid_partials(labels, m, "pred_lang")
 
     out = (joined.map_batches(partial, batch_format="pyarrow")
                  .groupby(["pred_lang", "dim"])
