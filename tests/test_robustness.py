@@ -81,3 +81,50 @@ def test_missing_media_is_poison_pill_not_crash(ray_session, tmp_path):
     assert [s["text"] for s in r["spans"]] == ["", "VINTAGE 2001"]
     assert r["vintage"] == 2001
     assert r["blob"]["blob_fingerprint"] == ""  # sentinel (no payload)
+
+
+def test_queries_on_fully_empty_tables(ray_session, tmp_path):
+    """Zero-row input tables (the degenerate partition case) must flow
+    through as typed-empty results, not KeyError on the column-less
+    frames Ray's to_pandas() yields for empty aggregates.
+
+    Known limitation (documented, not asserted): queries whose plan is
+    a distributed hash JOIN over an empty dataset
+    (ngram_jaccard_pairs, cosine_lsh_dup_pairs, q3_shipping_priority)
+    raise inside Ray's hash-shuffle aggregator — empty BLOCKS within
+    non-empty datasets are handled; fully-empty INPUT datasets hit a
+    Ray Data limitation upstream of this repo."""
+    import pyarrow.parquet as pq
+
+    from wine_label_ocr_ray.pipelines.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "empty_sf")
+    os.makedirs(dst, exist_ok=True)
+    for t in ["documents", "embeddings", "events", "region", "nation",
+              "customer", "supplier", "part", "orders", "lineitem"]:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tab.slice(0, 0), f"{dst}/{t}.parquet")
+
+    expect_cols = {
+        "doc_stats": None, "dedup_exact": None, "doc_top_terms": None,
+        "doc_tfidf_topk": ["doc_id", "score_e6", "rank"],
+        "embedding_centroids": ["label", "dim", "avg_val"],
+        "knn_cosine_topk": ["query_id", "neighbor_id", "score", "rank"],
+        "knn_lsh_topk": ["query_id", "neighbor_id", "score", "rank"],
+        "knn_ivf_topk": ["query_id", "neighbor_id", "score", "rank"],
+        "cosine_dup_pairs": ["vec_a", "vec_b", "cosine"],
+        "events_hourly": ["event_type", "window", "n", "sum_value"],
+        "events_sliding": ["event_type", "window", "n", "sum_value"],
+        "events_turntable_guidance": None,
+        "q1_pricing_summary": None,
+        "minhash_signatures": None, "simhash_near_dup": None,
+        "embedding_lang_centroids": ["pred_lang", "dim", "avg_val"],
+    }
+    for name, cols in expect_cols.items():
+        out = QUERIES[name](dst)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        assert len(out) == 0, name
+        if cols is not None:
+            assert list(out.columns) == cols, name

@@ -82,3 +82,20 @@ def round_df(df: pd.DataFrame, cols: List[str], digits: int = 3) -> pd.DataFrame
 
 def one_row(**values) -> pd.DataFrame:
     return pd.DataFrame({k: [v] for k, v in values.items()})
+
+
+def ensure_columns(df, columns):
+    """Ray's to_pandas() of an EMPTY (0-row) aggregated/derived
+    Dataset yields a COLUMN-LESS frame; reindex to the expected
+    columns so empty inputs flow through downstream column math as a
+    typed-empty frame instead of KeyError. No-op on non-empty input."""
+    if df.empty and not set(columns) <= set(df.columns):
+        return df.reindex(columns=list(columns))
+    return df
+
+
+def empty_frame(**cols):
+    """Typed empty DataFrame from name=dtype pairs."""
+    import pandas as pd
+    return pd.DataFrame({k: pd.Series([], dtype=v)
+                         for k, v in cols.items()})

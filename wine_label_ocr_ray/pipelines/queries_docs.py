@@ -303,6 +303,8 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
              .groupby(["label", "dim"])
              .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
              .to_pandas())
+    from ._qutil import ensure_columns
+    out = ensure_columns(out, ["label", "dim", "s", "c"])
     out["avg_val"] = np.round(out["s"] / out["c"], 6)
     return out[["label", "dim", "avg_val"]]
 
@@ -327,7 +329,12 @@ def knn_cosine_topk(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                       filter=(pc.field("vec_id") < KNN_NUM_QUERIES))
-           .to_pandas().sort_values("vec_id"))
+           .to_pandas())
+    if qdf.empty:
+        from ._qutil import empty_frame
+        return empty_frame(query_id="int64", neighbor_id="int64",
+                           score="float64", rank="int64")
+    qdf = qdf.sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qids = qdf["vec_id"].to_numpy()
     q_ref = ray.put((qids, Q))
@@ -397,8 +404,12 @@ def cosine_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding near-dup pairs (cosine >= threshold) via block-wise
     matmul against a broadcast matrix. O(n^2) baseline — the LSH/IVF
     bucketing in minhash/knn is the documented scale path."""
+    from ._qutil import empty_frame
     full = read_table(sf_dir, "embeddings",
                       columns=["vec_id", "embedding"]).to_pandas()
+    if full.empty:
+        return empty_frame(vec_a="int64", vec_b="int64",
+                           cosine="float64")
     M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
     ids = full["vec_id"].to_numpy()
     m_ref = ray.put((ids, M / np.linalg.norm(M, axis=1, keepdims=True)))
@@ -754,7 +765,12 @@ def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                       filter=(pc.field("vec_id") < KNN_NUM_QUERIES))
-           .to_pandas().sort_values("vec_id"))
+           .to_pandas())
+    if qdf.empty:
+        from ._qutil import empty_frame
+        return empty_frame(query_id="int64", neighbor_id="int64",
+                           score="float64", rank="int64")
+    qdf = qdf.sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qids = qdf["vec_id"].to_numpy()
     qb = _lsh_bucket(Q)
@@ -850,11 +866,20 @@ def knn_ivf_topk(sf_dir: str) -> pd.DataFrame:
                             columns=["vec_id", "embedding"],
                             filter=(pc.field("vec_id") < _IVF_SAMPLE))
                  .to_pandas())
+    if sample_df.empty:
+        from ._qutil import empty_frame
+        return empty_frame(query_id="int64", neighbor_id="int64",
+                           score="float64", rank="int64")
     S = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
     C = _ivf_train(S, min(_IVF_NLIST, len(S)), _IVF_ITERS)
     qdf = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                       filter=(pc.field("vec_id") < KNN_NUM_QUERIES))
-           .to_pandas().sort_values("vec_id"))
+           .to_pandas())
+    if qdf.empty:
+        from ._qutil import empty_frame
+        return empty_frame(query_id="int64", neighbor_id="int64",
+                           score="float64", rank="int64")
+    qdf = qdf.sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qids = qdf["vec_id"].to_numpy()
     # nprobe nearest lists per query (tiny: nq x nlist)
@@ -1346,6 +1371,10 @@ def doc_tfidf_topk(sf_dir: str) -> pd.DataFrame:
     n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
     tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
     df_t = tf.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    if df_t.empty:
+        from ._qutil import empty_frame
+        return empty_frame(doc_id="int64", score_e6="int64",
+                           rank="int64")
     idf_e6 = {t: (1_000_000 * (n_docs + 1)) // (int(d) + 1)
               for t, d in zip(df_t["term"], df_t["df"])}
 

@@ -61,6 +61,10 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
                         Sum("charge_e6", alias_name="charge_e6"),
                         Count(alias_name="count_order"))
              .to_pandas())
+    from ._qutil import ensure_columns
+    out = ensure_columns(out, ["l_returnflag", "l_linestatus", "sum_qty",
+                               "price_c", "disc_c", "disc_price_e4",
+                               "charge_e6", "count_order"])
     n = out["count_order"].astype(np.float64)
     out["sum_base_price"] = out["price_c"].astype(np.float64) / 100
     out["sum_disc_price"] = out["disc_price_e4"].astype(np.float64) / 10000
@@ -199,7 +203,7 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     seg_keys = set(
         read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
                    filter=(pc.field("c_mktsegment") == "BUILDING"))
-        .unique("c_custkey"))
+        .unique("c_custkey") or [])  # unique() -> None on empty input
     keys_ref = ray.put(np.array(sorted(seg_keys), dtype=np.int64))
 
     cutoff = _dt.datetime(1996, 3, 15)
@@ -383,6 +387,8 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
              .aggregate(Count(alias_name="n"),
                         Sum("value_c", alias_name="value_c"))
              .to_pandas())
+    from ._qutil import ensure_columns
+    out = ensure_columns(out, ["event_type", "window", "n", "value_c"])
     out["sum_value"] = out["value_c"].astype(np.float64) / 100
     return out[["event_type", "window", "n", "sum_value"]]
 
@@ -513,6 +519,8 @@ def events_sliding(sf_dir: str) -> pd.DataFrame:
              .aggregate(Count(alias_name="n"),
                         Sum("value_c", alias_name="value_c"))
              .to_pandas())
+    from ._qutil import ensure_columns
+    out = ensure_columns(out, ["event_type", "window", "n", "value_c"])
     out["sum_value"] = out["value_c"].astype(np.float64) / 100
     return out[["event_type", "window", "n", "sum_value"]]
 
@@ -759,5 +767,11 @@ def events_turntable_guidance(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(rows, columns=cols)
 
     out = _grouped_by_user(ds, per_user).to_pandas()
+    from ._qutil import ensure_columns
+    out = ensure_columns(out, ["user_id", "session_id", "start_ts",
+                               "end_ts", "n_frames", "n_ocr",
+                               "peak_count", "locked", "first_lock_ts",
+                               "n_locks", "n_unlocks", "n_captures",
+                               "captured"])
     return (out.sort_values(["user_id", "session_id"])
                .reset_index(drop=True))
