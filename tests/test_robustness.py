@@ -90,7 +90,8 @@ def test_queries_on_fully_empty_tables(ray_session, tmp_path):
 
     Known limitation (documented, not asserted): queries whose plan is
     a distributed hash JOIN over an empty dataset
-    (ngram_jaccard_pairs, cosine_lsh_dup_pairs, q3_shipping_priority)
+    (ngram_jaccard_pairs, cosine_lsh_dup_pairs, q3_shipping_priority,
+    q5_region_revenue)
     raise inside Ray's hash-shuffle aggregator — empty BLOCKS within
     non-empty datasets are handled; fully-empty INPUT datasets hit a
     Ray Data limitation upstream of this repo."""
@@ -118,13 +119,21 @@ def test_queries_on_fully_empty_tables(ray_session, tmp_path):
         "events_sliding": ["event_type", "window", "n", "sum_value"],
         "events_turntable_guidance": None,
         "q1_pricing_summary": None,
+        "q4_semi_join": None, "anti_join_customers": None,
+        "top_orders_per_segment": None, "distinct_segments": None,
+        "count_distinct_cust": None, "events_asof_click": None,
+        "events_window_range": None, "union_priority_counts": None,
         "minhash_signatures": None, "simhash_near_dup": None,
         "embedding_lang_centroids": ["pred_lang", "dim", "avg_val"],
     }
+    one_row_summaries = {"count_distinct_cust"}
     for name, cols in expect_cols.items():
         out = QUERIES[name](dst)
         if hasattr(out, "to_pandas"):
             out = out.to_pandas()
-        assert len(out) == 0, name
+        if name in one_row_summaries:
+            assert len(out) == 1 and out.iloc[0, 0] == 0, name
+        else:
+            assert len(out) == 0, name
         if cols is not None:
             assert list(out.columns) == cols, name

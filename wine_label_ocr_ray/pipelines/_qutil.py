@@ -49,6 +49,10 @@ def sorted_lookup(ds: "ray.data.Dataset", key_col: str, val_col: str):
     compact array, not a Python dict."""
     t = pa.concat_tables(
         ray.get(b) for b in ds.to_arrow_refs())  # columns only, no pandas
+    if t.num_rows == 0 or key_col not in t.schema.names:
+        # zero-row dimension: empty lookup (probe_sorted finds nothing)
+        return (np.array([], dtype=np.int64),
+                np.array([], dtype=object))
     keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
     vals = t[val_col].to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")

@@ -156,7 +156,7 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def distinct_segments(sf_dir: str) -> pd.DataFrame:
     vals = read_table(sf_dir, "customer",
                       columns=["c_mktsegment"]).unique("c_mktsegment")
-    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+    return pd.DataFrame({"c_mktsegment": sorted(vals or [])})
 
 
 DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
@@ -164,7 +164,7 @@ DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 def count_distinct_cust(sf_dir: str) -> pd.DataFrame:
     n = len(read_table(sf_dir, "orders",
-                       columns=["o_custkey"]).unique("o_custkey"))
+                       columns=["o_custkey"]).unique("o_custkey") or [])
     return one_row(n_customers=n)
 
 
@@ -273,7 +273,11 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     nation = read_table(sf_dir, "nation",
                         columns=["n_nationkey", "n_name", "n_regionkey"]
                         ).to_pandas()
+    from ._qutil import ensure_columns
+    nation = ensure_columns(nation,
+                            ["n_nationkey", "n_name", "n_regionkey"])
     region = read_table(sf_dir, "region").to_pandas()
+    region = ensure_columns(region, ["r_regionkey", "r_name"])
     asia_keys = set(region[region.r_name == "ASIA"].r_regionkey)
     asia_nations = nation[nation.n_regionkey.isin(asia_keys)]
     # genuinely tiny (<= 25 rows): sorted arrays for vectorized probes
@@ -623,7 +627,7 @@ def q4_semi_join(sf_dir: str) -> pd.DataFrame:
     hot_keys = (read_table(sf_dir, "lineitem",
                            columns=["l_orderkey", "l_quantity"],
                            filter=(pc.field("l_quantity") > 45.0))
-                .unique("l_orderkey"))
+                .unique("l_orderkey") or [])
     ref = ray.put(np.array(sorted(hot_keys), dtype=np.int64))
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderpriority"])
@@ -653,7 +657,7 @@ def anti_join_customers(sf_dir: str) -> pd.DataFrame:
     have = (read_table(sf_dir, "orders",
                        columns=["o_custkey", "o_totalprice"],
                        filter=(pc.field("o_totalprice") > 300000.0))
-            .unique("o_custkey"))
+            .unique("o_custkey") or [])
     ref = ray.put(np.array(sorted(have), dtype=np.int64))
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_mktsegment"])
