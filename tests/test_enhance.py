@@ -79,6 +79,29 @@ def test_find_label_roi_fallback_margin_box():
     assert E.find_label_roi(flat) == (10, 5, 90, 45)
 
 
+def test_find_label_roi_downscales_large_frames():
+    """hybrid.py:106-109/144-146: inputs with max side > 800 px are
+    scored at scale 800/max(H,W) and the winning box rescaled back.
+    A 1200x1000 frame with a centered textured label must return a box
+    in ORIGINAL coordinates overlapping the label; the flat fallback
+    must rescale to the original 10% margin box (within truncation)."""
+    rng = np.random.default_rng(7)
+    img = np.full((1000, 1200), 230, dtype=np.uint8)
+    img[300:700, 360:840] = rng.integers(
+        0, 255, (400, 480), dtype=np.uint8)   # textured label block
+    x1, y1, x2, y2 = E.find_label_roi(img)
+    assert 0 <= x1 < x2 <= 1200 and 0 <= y1 < y2 <= 1000
+    ix1, iy1 = max(x1, 360), max(y1, 300)
+    ix2, iy2 = min(x2, 840), min(y2, 700)
+    inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+    assert inter / (480 * 400) > 0.5
+    # flat large frame -> margin fallback, rescaled to original coords
+    flat = np.full((1000, 1200), 7, dtype=np.uint8)
+    fx1, fy1, fx2, fy2 = E.find_label_roi(flat)
+    assert abs(fx1 - 120) <= 3 and abs(fy1 - 100) <= 3
+    assert abs(fx2 - 1080) <= 3 and abs(fy2 - 900) <= 3
+
+
 def test_align_vertically_straightens():
     base = np.zeros((60, 60), dtype=np.uint8)
     base[:, 28:32] = 255  # vertical bar: already aligned
@@ -137,6 +160,30 @@ def test_canny_hysteresis_and_nms():
     img2[25:, 40:] = 35               # weak step, lower half (mag ~140)
     edges2 = E.canny(img2, 50.0, 150.0)
     assert (edges2[35:45, 39:42] > 0).any()
+
+
+def test_canny_thins_diagonal_edges():
+    """Regression for the NMS sector 1/3 neighbor mix-up: with gy
+    positive downward, a 45-degree gradient lies along the main (NW/SE)
+    diagonal, so NMS must compare those neighbors — otherwise it
+    suppresses along the edge instead of across it and a diagonal step
+    edge stays ~2px thick. A 60px diagonal step should thin to roughly
+    one pixel per row (cv2.Canny keeps ~119 pixels here, not ~232)."""
+    n = 60
+    img = np.zeros((n, n), dtype=np.uint8)
+    for i in range(n):
+        img[i, :i + 1] = 200
+    edges = E.canny(img, 50.0, 150.0)
+    total = int((edges > 0).sum())
+    assert 0 < total <= int(2.3 * n)      # ~1px/row (+ edge effects)
+    # every interior row of the diagonal is thinned to <= 2 pixels
+    interior = (edges[5:n - 5] > 0).sum(axis=1)
+    assert interior.max() <= 2
+    # and the mirrored diagonal (135 degrees) thins too
+    img2 = img[:, ::-1].copy()
+    edges2 = E.canny(img2, 50.0, 150.0)
+    interior2 = (edges2[5:n - 5] > 0).sum(axis=1)
+    assert interior2.max() <= 2
 
 
 def test_turntable_preprocess_binarizes_with_close():

@@ -56,6 +56,20 @@ def test_query_matches_oracle(ray_session, duck, name, fn, sql):
                                   obj=name)
 
 
+def test_semi_anti_join_paths_agree(ray_session):
+    """The volume gate's two legs must be interchangeable: forcing the
+    distributed left_semi/left_anti ``Dataset.join`` path
+    (broadcast_max=0) emits exactly the broadcast-isin path's rows."""
+    from wine_label_ocr_ray.pipelines import queries_rel as R
+    for fn in (R.q4_semi_join, R.anti_join_customers):
+        bc = fn(TESTDATA, broadcast_max=10**9)
+        dist = fn(TESTDATA, broadcast_max=0)
+        assert len(dist) > 0, fn.__name__
+        pd.testing.assert_frame_equal(_normalize(bc), _normalize(dist),
+                                      check_dtype=False,
+                                      obj=fn.__name__)
+
+
 def test_rows_only_queries_run(ray_session):
     """Queries without SQL oracles still must run and return stable,
     non-degenerate results."""

@@ -112,11 +112,15 @@ def canny(gray: np.ndarray, lo: float = 50.0,
     sector[(angle >= 112.5) & (angle < 157.5)] = 3
     p = np.pad(mag, 1, mode="constant")
     h, w = g.shape
+    # With gy positive downward (image coords), a 45-degree gradient
+    # angle lies along the main (NW/SE) pixel diagonal and 135 degrees
+    # along the anti-diagonal (NE/SW) — sectors 1 and 3 must compare
+    # the neighbors ALONG the gradient, i.e. across the edge.
     nb = {
         0: (p[1:h + 1, 2:], p[1:h + 1, 0:w]),      # E / W
-        1: (p[0:h, 2:], p[2:, 0:w]),               # NE / SW
+        1: (p[0:h, 0:w], p[2:, 2:]),               # NW / SE
         2: (p[0:h, 1:w + 1], p[2:, 1:w + 1]),      # N / S
-        3: (p[0:h, 0:w], p[2:, 2:]),               # NW / SE
+        3: (p[0:h, 2:], p[2:, 0:w]),               # NE / SW
     }
     keep = np.zeros(g.shape, dtype=bool)
     for s, (a, b) in nb.items():
@@ -232,9 +236,21 @@ def find_label_roi(gray: np.ndarray) -> Tuple[int, int, int, int]:
     """Label-ROI heuristic (hybrid.py:102-146): edge components scored
     by 0.4*centrality + 0.3*relative-area + 0.3*min(var/1000, 1) over
     candidate boxes with 10-90% area and aspect 0.2-5; fallback = 10%
-    margin box. (Reference downscales >800px inputs; synthetic images
-    are small, so the downscale leg is omitted.)"""
-    H, W = gray.shape[:2]
+    margin box. Inputs with max side > 800 px are downscaled first
+    (``scale = 800 / max(H, W)``, hybrid.py:106-109) — scoring runs on
+    the small frame and the winning box is rescaled by 1/scale and
+    clamped to the original frame (hybrid.py:144-146). Camera frames
+    hit this leg on every capture; omitting it silently changes ROI
+    scoring on large inputs."""
+    H0, W0 = gray.shape[:2]
+    scale = min(1.0, 800.0 / max(H0, W0))
+    if scale < 1.0:
+        from .imaging import resize_bilinear
+        small = resize_bilinear(gray, int(H0 * scale), int(W0 * scale))
+    else:
+        small = gray
+    H, W = small.shape[:2]
+    gray = small
     edges = edge_map(gray)
     n, labels, stats, _ = connected_components(edges)
     best_box, best_score = None, -1.0
@@ -259,6 +275,13 @@ def find_label_roi(gray: np.ndarray) -> Tuple[int, int, int, int]:
     if best_box is None:
         mw, mh = int(W * 0.1), int(H * 0.1)
         best_box = (mw, mh, W - mw, H - mh)
+    if scale < 1.0:
+        # rescale the small-frame box back to original coordinates
+        # (hybrid.py:144-146: int-truncated, clamped to the frame)
+        inv = 1.0 / scale
+        x1, y1, x2, y2 = best_box
+        best_box = (max(0, int(x1 * inv)), max(0, int(y1 * inv)),
+                    min(W0, int(x2 * inv)), min(H0, int(y2 * inv)))
     return best_box
 
 

@@ -32,12 +32,17 @@ def flagship_extract(sf_dir: str):
 
 
 def dedup_decision(sf_dir: str) -> pd.DataFrame:
-    """Scan-and-store decision pipeline (reference J1/J2): first half
-    of the flagship records (by doc_id) forms the committed DB, the
-    second half is probed — exact key, then vintage-blocked
-    token_set_ratio fuzzy argmax (threshold 85). Both sides stay
-    Datasets end to end (``decide_distributed``): the DB is cogrouped
-    with the probes per leg, never ``take_all()``'d or broadcast."""
+    """Scan-and-store decision pipeline (reference J1/J2): a
+    deterministic content-hash half of the flagship records
+    (md5(doc_id) first hex digit < '8', the ``doc_sample`` trick)
+    forms the committed DB, the other half is probed — exact key, then
+    vintage-blocked token_set_ratio fuzzy argmax (threshold 85). Both
+    sides stay Datasets end to end (``decide_distributed``): the DB is
+    cogrouped with the probes per leg, never ``take_all()``'d or
+    broadcast, and the DB/probe split is a predicate (no global sort +
+    split_at_indices barrier — that was the harness's last all-to-all)."""
+    import hashlib
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -49,20 +54,21 @@ def dedup_decision(sf_dir: str) -> pd.DataFrame:
         # pipe (charset A-Z0-9 &'-), so element 1 is the vintage
         vs = pc.list_element(pc.split_pattern(t["key"], "|"), 1)
         vs = pc.if_else(pc.equal(vs, ""), pa.scalar(None, pa.string()), vs)
+        in_db = pa.array([hashlib.md5(d.encode()).hexdigest()[0] < "8"
+                          for d in t["doc_id"].to_pylist()], pa.bool_())
         return pa.table({"doc_id": t["doc_id"],
                          "maker_norm": t["maker_norm"],
                          "key": t["key"], "record_id": t["record_id"],
-                         "vintage_str": vs})
+                         "vintage_str": vs, "in_db": in_db})
 
-    # materialize the small projected table once (5 scalar columns, no
-    # blobs) so count + split don't re-execute the extraction pipeline
+    # materialize the small projected table once (6 scalar columns, no
+    # blobs) so the two predicate splits don't re-execute extraction
     recs = (flagship_extract(sf_dir)
             .map_batches(project, batch_format="pyarrow")
-            .sort("doc_id").materialize())
-    half = recs.count() // 2
-    db_ds, probe_ds = recs.split_at_indices([half])
-    probe_ds = probe_ds.select_columns(["doc_id", "maker_norm",
-                                        "vintage_str"])
+            .materialize())
+    db_ds = recs.filter(expr="in_db == True").drop_columns(["in_db"])
+    probe_ds = recs.filter(expr="in_db == False").select_columns(
+        ["doc_id", "maker_norm", "vintage_str"])
     out = decide_distributed(probe_ds, db_ds).to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     return out[["doc_id", "decision", "score", "match_id", "reason"]]

@@ -11,6 +11,7 @@ rounded to 3+ decimals on both sides (see _qutil.round_df).
 from __future__ import annotations
 
 import datetime as _dt
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -618,28 +619,67 @@ FROM events GROUP BY user_id
 """
 
 
-def q4_semi_join(sf_dir: str) -> pd.DataFrame:
+def _distinct_keys(ds, src_col: str, out_col: str):
+    """Fact-side distinct key set as a DATASET (never on the driver):
+    per-batch partial dedup (only distinct keys leave each batch) then
+    a distributed groupby. Returns (materialized 1-col Dataset, count)."""
+    keys = (ds.map_batches(
+                lambda t: pa.table({out_col: pc.unique(t[src_col])}),
+                batch_format="pyarrow")
+              .groupby(out_col).aggregate(Count(alias_name="_n"))
+              .drop_columns(["_n"])
+              .materialize())
+    return keys, keys.count()
+
+
+def _semi_broadcast_max() -> int:
+    """Key-count gate between the broadcast-isin membership filter and
+    the distributed semi/anti `Dataset.join` (same volume-routing shape
+    as minhash_lsh_pairs' verify legs, queries_docs.py)."""
+    import os
+    return int(os.environ.get("WLOR_SEMI_BROADCAST_MAX", 500_000))
+
+
+def q4_semi_join(sf_dir: str, *,
+                 broadcast_max: Optional[int] = None) -> pd.DataFrame:
     """Semi-join (TPC-H Q4 shape): orders per priority having at least
-    one high-quantity lineitem. Pattern: distinct key set from the big
-    side via Ray `unique` -> broadcast membership filter (a Bloom
-    filter at 100TB scale — same shape)."""
+    one high-quantity lineitem. The fact-derived key set is built as a
+    distributed distinct (partial per-batch dedup -> groupby) and
+    volume-gated: below ``broadcast_max`` distinct keys it is pulled
+    once and broadcast (``ray.put`` + np.isin membership filter); above
+    it NEVER lands on the driver — a distributed ``left_semi``
+    ``Dataset.join`` co-partitions orders against the key Dataset
+    (the 100-TB form; at that scale keys are billions of rows)."""
     import ray
-    hot_keys = (read_table(sf_dir, "lineitem",
-                           columns=["l_orderkey", "l_quantity"],
-                           filter=(pc.field("l_quantity") > 45.0))
-                .unique("l_orderkey") or [])
-    ref = ray.put(np.array(sorted(hot_keys), dtype=np.int64))
+    if broadcast_max is None:
+        broadcast_max = _semi_broadcast_max()
+    keys_ds, nkeys = _distinct_keys(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_quantity"],
+                   filter=(pc.field("l_quantity") > 45.0)),
+        "l_orderkey", "o_orderkey")
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderpriority"])
 
-    def semi(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = np.isin(t["o_orderkey"].to_numpy(zero_copy_only=False), keys)
-        return t.filter(pa.array(mask))
+    if nkeys <= broadcast_max:
+        hot = keys_ds.to_pandas()["o_orderkey"].to_numpy() \
+            if nkeys else np.array([], dtype=np.int64)
+        ref = ray.put(np.sort(hot.astype(np.int64)))
 
-    return (orders.map_batches(semi, batch_format="pyarrow")
-                  .groupby("o_orderpriority")
-                  .aggregate(Count(alias_name="n")).to_pandas())
+        def semi(t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            mask = np.isin(t["o_orderkey"].to_numpy(zero_copy_only=False),
+                           keys)
+            return t.filter(pa.array(mask))
+
+        matched = orders.map_batches(semi, batch_format="pyarrow")
+    else:
+        nparts = max(2, min(join_partitions(), nkeys // 200_000 + 2))
+        matched = orders.join(keys_ds, join_type="left_semi",
+                              num_partitions=nparts, on=("o_orderkey",))
+
+    return (matched.groupby("o_orderpriority")
+                   .aggregate(Count(alias_name="n")).to_pandas())
 
 
 Q4_SEMI_SQL = """
@@ -650,25 +690,42 @@ GROUP BY o_orderpriority
 """
 
 
-def anti_join_customers(sf_dir: str) -> pd.DataFrame:
+def anti_join_customers(sf_dir: str, *,
+                        broadcast_max: Optional[int] = None) -> pd.DataFrame:
     """Anti-join: customers with no HIGH-VALUE order (totalprice >
-    300000), counted per segment (broadcast key-set negation filter)."""
+    300000), counted per segment. Same volume gate as ``q4_semi_join``:
+    the fact-derived key set broadcasts (negated np.isin) only below
+    ``broadcast_max`` distinct keys; above, a distributed ``left_anti``
+    ``Dataset.join`` keeps the keys off the driver entirely."""
     import ray
-    have = (read_table(sf_dir, "orders",
-                       columns=["o_custkey", "o_totalprice"],
-                       filter=(pc.field("o_totalprice") > 300000.0))
-            .unique("o_custkey") or [])
-    ref = ray.put(np.array(sorted(have), dtype=np.int64))
+    if broadcast_max is None:
+        broadcast_max = _semi_broadcast_max()
+    keys_ds, nkeys = _distinct_keys(
+        read_table(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"],
+                   filter=(pc.field("o_totalprice") > 300000.0)),
+        "o_custkey", "c_custkey")
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_mktsegment"])
 
-    def anti(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = ~np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), keys)
-        return t.filter(pa.array(mask))
+    if nkeys <= broadcast_max:
+        have = keys_ds.to_pandas()["c_custkey"].to_numpy() \
+            if nkeys else np.array([], dtype=np.int64)
+        ref = ray.put(np.sort(have.astype(np.int64)))
 
-    out = (cust.map_batches(anti, batch_format="pyarrow")
-               .groupby("c_mktsegment")
+        def anti(t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            mask = ~np.isin(t["c_custkey"].to_numpy(zero_copy_only=False),
+                            keys)
+            return t.filter(pa.array(mask))
+
+        kept = cust.map_batches(anti, batch_format="pyarrow")
+    else:
+        nparts = max(2, min(join_partitions(), nkeys // 200_000 + 2))
+        kept = cust.join(keys_ds, join_type="left_anti",
+                         num_partitions=nparts, on=("c_custkey",))
+
+    out = (kept.groupby("c_mktsegment")
                .aggregate(Count(alias_name="n")).to_pandas())
     if out.empty:  # Ray drops the schema of an all-empty aggregate
         out = pd.DataFrame({"c_mktsegment": pd.Series(dtype=object),

@@ -69,4 +69,8 @@ RECORD_SCHEMA = pa.schema([
     ("valid", pa.bool_()),        # False for the empty-key guard (M28)
     ("mean_ocr_conf", pa.float64()),
     ("blob", BLOB_STRUCT),
+    # the span stage's already-serialized blob payload, carried through
+    # assembly so downstream pair pipelines (blob_near_dup) never
+    # round-trip the struct column back through Python per batch
+    ("blob_json", pa.string()),
 ])

@@ -101,6 +101,10 @@ def _lineage_matches(files: List[str], cfg: PipelineConfig,
     FileNotFoundError, manifest missing input_file → files=[None] →
     TypeError) means the manifest no longer matches reality — treat as
     a mismatch and re-execute, never crash the resume scan."""
+    if not isinstance(prior_lineage, dict):
+        # hand-edited / corrupted-but-parseable manifest: a non-dict
+        # lineage value can never match — re-execute, don't crash
+        return False
     try:
         prior_hash = prior_lineage.get("config_hash")
         if prior_hash not in _accepted_config_hashes(cfg):

@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from ..functions import fuzzy as F
 from ..functions.blobs import blob_similarity
+from .bucketing import hash_mod as _hash_mod
 
 
 def best_match(db: List[Dict], maker_norm: str, vintage: Optional[str],
@@ -177,21 +178,6 @@ _EXACT_SCHEMA = pa.schema([
 _FALLBACK_PARTIAL_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("score", pa.float64()),
     ("db_doc", pa.string()), ("match_id", pa.string())])
-
-
-def _hash_mod(ids: pa.ChunkedArray, mod: int) -> pa.Array:
-    """Vectorized deterministic hash(col) % mod (same polars-seeded
-    hash as reassemble.add_bucket; crc32 fallback)."""
-    if isinstance(ids, pa.ChunkedArray):
-        ids = ids.combine_chunks()
-    try:
-        import polars as pl
-        h = pl.from_arrow(ids).hash(seed=42).to_numpy()
-        return pa.array((h % mod).astype("int32"), pa.int32())
-    except ImportError:
-        import zlib
-        return pa.array([zlib.crc32(str(d).encode()) % mod
-                         for d in ids.to_pylist()], pa.int32())
 
 
 def _tok_sets(makers) -> List[frozenset]:
@@ -525,13 +511,24 @@ def blob_near_dup_pairs(records_ds, *, threshold: float = 0.55,
         keep = pc.and_(pc.greater(counts, 0),
                        pc.is_valid(t["vintage"]))
         t2 = t.filter(keep)
-        blob2 = t2["blob"]
-        if isinstance(blob2, pa.ChunkedArray):
-            blob2 = blob2.combine_chunks()
-        payload = [json.dumps(b) for b in blob2.to_pylist()]
+        if "blob_json" in t2.schema.names:
+            # records carry the span stage's serialized blob end to end
+            # (schema.RECORD_SCHEMA) — zero-copy column select, no
+            # per-row struct -> Python round trip
+            payload = t2["blob_json"]
+            if isinstance(payload, pa.ChunkedArray):
+                payload = payload.combine_chunks()
+        else:
+            # inputs built without the carried column (ad-hoc tests):
+            # serialize the struct once here
+            blob2 = t2["blob"]
+            if isinstance(blob2, pa.ChunkedArray):
+                blob2 = blob2.combine_chunks()
+            payload = pa.array([json.dumps(b) for b in blob2.to_pylist()],
+                               pa.string())
         return pa.table({"doc_id": t2["doc_id"],
                          "vintage": t2["vintage"],
-                         "blob_json": pa.array(payload, pa.string())})
+                         "blob_json": payload})
 
     prepped = records_ds.map_batches(prep, batch_format="pyarrow")
 

@@ -35,10 +35,28 @@ _MAKER_CLASSES = frozenset({"maker_name", "producer", "winery"})
 _VINTAGE_CLASSES = frozenset({"vintage", "year"})
 
 
+def _sweep_takes_gray(ocr_engine) -> bool:
+    """Adapters written against the original 2-arg ``ocr_sweep``
+    signature must keep working: pass ``gray`` only if the engine
+    accepts it. Engine-invariant — resolved ONCE per actor in
+    ``MediaExtract.__init__``, never re-inspected per payload
+    (hot-path reflection, round-3 verdict #3). A plain function, not
+    an ``lru_cache`` module global: cloudpickle serializes C-wrapped
+    callables by module reference, which breaks the package's
+    by-value shipping to workers (_rayprep.py)."""
+    import inspect
+    try:
+        return "gray" in inspect.signature(
+            ocr_engine.ocr_sweep).parameters
+    except (TypeError, ValueError, AttributeError):
+        return False
+
+
 def extract_media_fields(decoded: Dict, gray: np.ndarray, *,
                          detect_engine, ocr_engine, barcode_engine,
                          blob_analyzer, pad: float = 0.08,
-                         sweep_max_variants: int = 75) -> Dict:
+                         sweep_max_variants: int = 75,
+                         sweep_takes_gray: Optional[bool] = None) -> Dict:
     """Process ONE media payload -> span-row field dict. Pure given the
     engines. The oracle (oracle.py) re-implements this chain
     independently; the pipeline test asserts the two agree per row."""
@@ -79,16 +97,11 @@ def extract_media_fields(decoded: Dict, gray: np.ndarray, *,
             raw.setdefault(cls_lower, []).append((txt, conf))
 
     if not vintage_by_yolo and not out_vintage:
-        # adapters written against the original 2-arg ocr_sweep
-        # signature must keep working: pass gray only if accepted
-        import inspect
-        try:
-            takes_gray = "gray" in inspect.signature(
-                ocr_engine.ocr_sweep).parameters
-        except (TypeError, ValueError):
-            takes_gray = False
+        if sweep_takes_gray is None:  # direct (non-actor) callers
+            sweep_takes_gray = _sweep_takes_gray(ocr_engine)
         texts = ocr_engine.ocr_sweep(decoded, sweep_max_variants,
-                                     gray=gray) if takes_gray else \
+                                     gray=gray) \
+            if sweep_takes_gray else \
             ocr_engine.ocr_sweep(decoded, sweep_max_variants)
         sweep = T.sweep_year_from_texts(texts)
         if sweep:
@@ -125,6 +138,8 @@ class MediaExtract:
                                           skip_alignment=skip_alignment)
         self.pad = pad
         self.sweep_max_variants = sweep_max_variants
+        # adapter-compat reflection resolved once per actor lifetime
+        self.sweep_takes_gray = _sweep_takes_gray(self.ocr_engine)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -162,7 +177,8 @@ class MediaExtract:
                     ocr_engine=self.ocr_engine,
                     barcode_engine=self.barcode_engine,
                     blob_analyzer=self.blob_analyzer, pad=self.pad,
-                    sweep_max_variants=self.sweep_max_variants)
+                    sweep_max_variants=self.sweep_max_variants,
+                    sweep_takes_gray=self.sweep_takes_gray)
             for name in vals:
                 vals[name].append(fields[name])
 

@@ -35,11 +35,13 @@ import pyarrow as pa
 
 from ..functions import text as T
 from ..schema import RECORD_SCHEMA
+from .bucketing import hash_mod
 
 # Sentinel for documents with no media span (reference records carry
 # BlobData = {} when the blob leg never ran, WineTracker.py:28).
 EMPTY_BLOB = {"roi_shape": [0, 0], "blob_count": 0,
               "blob_fingerprint": "", "blobs": []}
+EMPTY_BLOB_JSON = json.dumps(EMPTY_BLOB)
 
 
 def _merge_raw(raw_jsons: List[str]) -> Dict[str, List]:
@@ -106,6 +108,7 @@ def assemble_doc(rows: List[Dict]) -> Dict:
         "record_id": T.hash_id(maker_norm, vintage_str),
         "valid": not (key == "|" or (not maker_norm and not vintage_str)),
         "blob": blob,
+        "blob_json": blob_json or EMPTY_BLOB_JSON,
     }
 
 
@@ -116,23 +119,11 @@ def assemble_group(group: pa.Table) -> pa.Table:
 
 
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Deterministic doc bucket for the amortized reassembly shuffle.
-    The bucket value is internal to the shuffle (dropped at assembly),
-    so only run-internal consistency matters: polars' vectorized
-    seeded hash replaces the former per-row Python crc32 loop (the
-    flagship's last per-row hot spot outside the media engines)."""
-    ids = batch.column("doc_id")
-    if isinstance(ids, pa.ChunkedArray):
-        ids = ids.combine_chunks()
-    try:
-        import polars as pl
-        h = pl.from_arrow(ids).hash(seed=42).to_numpy()
-        arr = pa.array((h % num_buckets).astype("int32"), pa.int32())
-    except ImportError:
-        import zlib
-        arr = pa.array([zlib.crc32(d.encode()) % num_buckets
-                        for d in ids.to_pylist()], pa.int32())
-    return batch.append_column("bucket", arr)
+    """Deterministic doc bucket for the amortized reassembly shuffle
+    (the shared ``bucketing.hash_mod``; bucket values are internal to
+    the shuffle and dropped at assembly)."""
+    return batch.append_column(
+        "bucket", hash_mod(batch.column("doc_id"), num_buckets))
 
 
 def assemble_bucket(group: pa.Table) -> pa.Table:
