@@ -37,6 +37,9 @@ def test_scaling_gate_brackets_and_appends(bench, tmp_path, monkeypatch):
     # pre) attempt 2 — load present at that boundary taints both.
     canary_seq = iter([12.0, 12.1, 30.0, 12.4, 12.5])
     monkeypatch.setattr(bench, "run_canary", lambda: next(canary_seq))
+    # neutral effective-core probes: this test exercises the CANARY
+    # leg of the gate (the probe leg has its own test below)
+    monkeypatch.setattr(bench, "quick_probe", lambda procs: float(procs))
 
     legs = iter([400.0, 125.0,    # attempt 0: eff 0.8   (valid)
                  400.0, 390.0,    # attempt 1: poisoned  (post 30)
@@ -77,6 +80,66 @@ def test_scaling_gate_brackets_and_appends(bench, tmp_path, monkeypatch):
     assert "BRACKETING" in text and "VALID set" in text
 
 
+def test_parse_stage_stats_taskpool_and_alltoall(bench):
+    """The attribution parser must read both operator shapes the
+    flagship emits: task-pool ops ("N tasks executed") and all-to-all
+    ops (Sort) whose header has no task count and whose map/reduce
+    sub-stage blocks are tab-indented — their compute SUMS, their
+    output_rows is the final (reduce) block's."""
+    stats = (
+        "Operator 1 ReadParquet->MapBatches(f): 8 tasks executed, "
+        "8 blocks produced in 0.13s\n"
+        "* Remote wall time: 1ms min, 2ms max, 1.5ms mean, 1.5s total\n"
+        "* Remote cpu time: 1ms min, 2ms max, 1.5ms mean, 800ms total\n"
+        "* Output num rows per block: 10 min, 20 max, 15 mean, 120 total\n"
+        "Operator 2 Sort: executed in 2.26s\n"
+        "\t* Remote wall time: 1ms min, 2ms max, 2ms mean, 19.25ms total\n"
+        "\t* Remote cpu time: 1ms min, 2ms max, 2ms mean, 1.1s total\n"
+        "\t* Output num rows per block: 1 min, 2 max, 1 mean, 120 total\n"
+        "\t* Remote wall time: 1ms min, 5ms max, 2ms mean, 15.52ms total\n"
+        "\t* Remote cpu time: 1ms min, 5ms max, 2ms mean, 900ms total\n"
+        "\t* Output num rows per block: 1 min, 3 max, 1 mean, 115 total\n"
+        "Dataset throughput:\n\t* Ray Data throughput: 1 rows/s\n")
+    parsed = bench._parse_stage_stats(stats)
+    assert parsed["ReadParquet->MapBatches(f)"] == {
+        "wall_total_s": 1.5, "cpu_total_s": 0.8, "output_rows": 120}
+    assert parsed["Sort"]["cpu_total_s"] == pytest.approx(2.0)
+    assert parsed["Sort"]["wall_total_s"] == pytest.approx(0.03, abs=0.01)
+    assert parsed["Sort"]["output_rows"] == 115
+
+
+def test_scaling_probe_gate_excludes_constant_load(bench, tmp_path,
+                                                   monkeypatch):
+    """The canary-blind spot (BASELINE.md Run C/D): CONSTANT co-tenant
+    load slows canaries and legs proportionally, so the canary gate
+    passes while the machine delivers far fewer cores. The leg-adjacent
+    effective-core probe must catch it: a trial whose worst probe is
+    below 0.85 * hi cores is invalid even with quiet canaries."""
+    canary_seq = iter([12.0, 12.1, 12.2])
+    monkeypatch.setattr(bench, "run_canary", lambda: next(canary_seq))
+    # attempt 0: probes (32, 18, 31) -> min 18 < 27.2 -> INVALID
+    # attempt 1: probes (31, 30, 32) -> valid        (pre = prior post)
+    probe_seq = iter([32.0, 18.0, 31.0, 30.0, 32.0])
+    monkeypatch.setattr(bench, "quick_probe",
+                        lambda procs: next(probe_seq))
+    legs = iter([400.0, 250.0,     # attempt 0: constant-load window
+                 400.0, 125.0])    # attempt 1: quiet -> eff 0.8
+    monkeypatch.setattr(bench.subprocess, "run",
+                        lambda cmd, **kw: _FakeProc(next(legs)))
+    monkeypatch.setenv("WLOR_SCALING_TRIALS", "1")
+    monkeypatch.setenv("WLOR_SCALING_MAX_ATTEMPTS", "2")
+    monkeypatch.setenv("WLOR_SCALING_LO", "8")
+    monkeypatch.setenv("WLOR_SCALING_HI", "32")
+    result = bench.run_scaling()
+    assert result["valid_trials"] == [1]
+    assert result["probe_samples"] == [(32.0, 18.0, 31.0),
+                                       (31.0, 30.0, 32.0)]
+    assert result["value"] == pytest.approx(0.8, abs=0.001)
+    bench._record_baseline(result)
+    text = (tmp_path / "BASELINE.md").read_text()
+    assert "effective-core probes" in text
+
+
 def test_scaling_all_trials_invalid_flagged(bench, tmp_path,
                                             monkeypatch):
     """If every attempt fails the canary gate, the harness falls back
@@ -84,6 +147,7 @@ def test_scaling_all_trials_invalid_flagged(bench, tmp_path,
     says so instead of printing a false VALID-set note."""
     canary_seq = iter([12.0, 40.0, 41.0])
     monkeypatch.setattr(bench, "run_canary", lambda: next(canary_seq))
+    monkeypatch.setattr(bench, "quick_probe", lambda procs: float(procs))
     legs = iter([400.0, 200.0, 420.0, 210.0])
     monkeypatch.setattr(bench.subprocess, "run",
                         lambda cmd, **kw: _FakeProc(next(legs)))
