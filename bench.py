@@ -548,8 +548,19 @@ if __name__ == "__main__":
         # marks the canary subprocesses themselves)
         stamp = os.environ.get("WLOR_BENCH_CANARY", "1") != "0"
         c_before = round(run_canary(), 3) if stamp else None
+        # effective-core probes bracket the run as well: round-4
+        # observation — a 150k flagship recorded 105 s with QUIET
+        # canaries (12.7/12.6 s) while interleaved A/B trials of the
+        # same commit pair spanned 31-54 s, i.e. sustained mid-run
+        # load is invisible to the 15 s canary but shows directly as
+        # depressed effective cores / inflated per-doc cpu
+        p_before = quick_probe(
+            int(os.environ.get("RAY_GRAFT_CPUS", "32"))) if stamp else None
         res = run_bench()
         if stamp:
             res["canary_before_sec"] = c_before
             res["canary_after_sec"] = round(run_canary(), 3)
+            res["probe_before_cores"] = p_before
+            res["probe_after_cores"] = quick_probe(
+                int(os.environ.get("RAY_GRAFT_CPUS", "32")))
         print(json.dumps(res))
