@@ -244,7 +244,10 @@ def convex_hull_area(points: np.ndarray) -> float:
     """Area of the convex hull of integer pixel coordinates (x, y) via
     monotone chain + shoelace, matching cv2.contourArea-over-hull
     closely enough for the solidity filter band."""
-    pts = sorted({(int(p[0]), int(p[1])) for p in points})
+    arr = np.asarray(points)
+    # tolist() yields Python ints for integer arrays — identical
+    # tuples to the former per-point int() casts, far cheaper
+    pts = sorted(set(zip(arr[:, 0].tolist(), arr[:, 1].tolist())))
     if len(pts) < 3:
         return 0.0
 
@@ -288,28 +291,51 @@ def extract_smart_blobs(mask: np.ndarray, min_area: float = 30.0) -> List[Dict]:
     if len(runs_r) == 0:
         return blobs
     uniq, dense = np.unique(roots, return_inverse=True)
-    order = np.argsort(dense, kind="stable")
-    bounds = np.searchsorted(dense[order], np.arange(len(uniq) + 1))
+    n = len(uniq)
     run_len = (runs_b - runs_a + 1).astype(np.int64)
-    for bi in range(len(uniq)):
-        sel = order[bounds[bi]:bounds[bi + 1]]
-        rr, ra, rb = runs_r[sel], runs_a[sel], runs_b[sel]
-        area = int(run_len[sel].sum())
-        x0, x1 = int(ra.min()), int(rb.max())
-        y0, y1 = int(rr.min()), int(rr.max())
-        w, h = x1 - x0 + 1, y1 - y0 + 1
-        if area < min_area or w < 3 or h < 3:
-            continue
-        if area > 0.1 * roi_area:
-            continue
-        cx = float(((ra + rb) * run_len[sel]).sum() / 2.0 / area)
-        cy = float((rr * run_len[sel]).sum() / area)
+    # per-blob bbox/area/moment stats in one scatter pass over runs
+    # (was a Python loop of small numpy reductions per blob — ~34
+    # blobs x 6 kernel launches per payload in the flagship's hottest
+    # stage). Integer accumulators keep every later float IDENTICAL
+    # to the per-blob form: same integer sums, same division order.
+    x0 = np.full(n, np.iinfo(np.int64).max)
+    x1 = np.full(n, -1, dtype=np.int64)
+    y0 = np.full(n, np.iinfo(np.int64).max)
+    y1 = np.full(n, -1, dtype=np.int64)
+    area_v = np.zeros(n, dtype=np.int64)
+    sx2 = np.zeros(n, dtype=np.int64)   # sum over runs of (a+b)*len
+    sy = np.zeros(n, dtype=np.int64)    # sum over runs of r*len
+    np.minimum.at(x0, dense, runs_a)
+    np.maximum.at(x1, dense, runs_b)
+    np.minimum.at(y0, dense, runs_r)
+    np.maximum.at(y1, dense, runs_r)
+    np.add.at(area_v, dense, run_len)
+    np.add.at(sx2, dense, (runs_a + runs_b) * run_len)
+    np.add.at(sy, dense, runs_r * run_len)
+    w_v = x1 - x0 + 1
+    h_v = y1 - y0 + 1
+    # cheap filter band applied vectorized; the hull (the only
+    # per-blob cost left) runs only for survivors
+    keep = ((area_v >= min_area) & (w_v >= 3) & (h_v >= 3)
+            & (area_v <= 0.1 * roi_area))
+    if not keep.any():
+        return blobs
+    order = np.argsort(dense, kind="stable")
+    bounds = np.searchsorted(dense[order], np.arange(n + 1))
+    for bi in np.flatnonzero(keep):
+        area = int(area_v[bi])
+        x0b, y0b = int(x0[bi]), int(y0[bi])
+        w, h = int(w_v[bi]), int(h_v[bi])
+        cx = float(sx2[bi] / 2.0 / area)
+        cy = float(sy[bi] / area)
         ar = w / h if h > 0 else 0.0
         if area == w * h and w > 1 and h > 1:
             # exact rectangle: hull is its 4 pixel-center corners
             hull_area = float((w - 1) * (h - 1))
         else:
             # hull points: per-row leftmost and rightmost pixels
+            sel = order[bounds[bi]:bounds[bi + 1]]
+            rr, ra, rb = runs_r[sel], runs_a[sel], runs_b[sel]
             pts = np.concatenate([np.stack([ra, rr], axis=1),
                                   np.stack([rb, rr], axis=1)])
             hull_area = convex_hull_area(pts)
@@ -317,7 +343,7 @@ def extract_smart_blobs(mask: np.ndarray, min_area: float = 30.0) -> List[Dict]:
         extent = float(area) / float(w * h) if (w * h) > 0 else 0.0
         if (0.02 <= ar <= 50.0) and (solidity >= 0.05) and (extent >= 0.05):
             blobs.append({
-                "x": x0, "y": y0, "w": w, "h": h,
+                "x": x0b, "y": y0b, "w": w, "h": h,
                 "cx": cx, "cy": cy,
                 "area": float(area),
                 "aspect_ratio": float(ar),
