@@ -128,3 +128,58 @@ def test_bucket_pairs_salted_equals_naive():
             for j in range(i + 1, len(ids)):
                 naive.add((ids[i], ids[j]))
     assert got == naive and naive  # non-vacuous
+
+
+def test_extract_smart_blobs_matches_naive_per_pixel():
+    """The scatter-vectorized blob stats (one np.*.at pass over runs)
+    must agree with a naive per-pixel reference on random masks:
+    identical blob order, bbox, integer area, centroid floats, and
+    the full filter band. Guards the byte-exact golden fingerprints
+    against future vectorization edits."""
+    import numpy as np
+
+    from wine_label_ocr_ray.functions import imaging as I
+
+    def naive_blobs(mask, min_area):
+        H, W = mask.shape
+        roi_area = float(H * W) if H and W else 1.0
+        n, labels, stats, _ = I.connected_components(mask)
+        out = []
+        for lb in range(1, n):
+            ys, xs = np.nonzero(labels == lb)
+            area = len(xs)
+            x0, x1 = int(xs.min()), int(xs.max())
+            y0, y1 = int(ys.min()), int(ys.max())
+            w, h = x1 - x0 + 1, y1 - y0 + 1
+            if area < min_area or w < 3 or h < 3 \
+                    or area > 0.1 * roi_area:
+                continue
+            cx = float(xs.sum() / area)
+            cy = float(ys.sum() / area)
+            ar = w / h
+            hull = I.convex_hull_area(np.stack([xs, ys], axis=1))
+            if area == w * h and w > 1 and h > 1:
+                hull = float((w - 1) * (h - 1))
+            solidity = float(area) / hull if hull > 0 else 0.5
+            extent = float(area) / float(w * h)
+            if (0.02 <= ar <= 50.0) and solidity >= 0.05 \
+                    and extent >= 0.05:
+                out.append({"x": x0, "y": y0, "w": w, "h": h,
+                            "cx": cx, "cy": cy, "area": float(area),
+                            "aspect_ratio": float(ar),
+                            "solidity": float(solidity),
+                            "extent": float(extent)})
+        return out
+
+    rng = np.random.RandomState(11)
+    for trial in range(8):
+        mask = (rng.rand(48, 64) > 0.72).astype(np.uint8) * 255
+        got = I.extract_smart_blobs(mask, min_area=5.0)
+        want = naive_blobs(mask, min_area=5.0)
+        # blob ordering is label order in both paths; centroids are
+        # integer-sum ratios so equality is exact, not approximate
+        assert len(got) == len(want), trial
+        for g, w_ in zip(got, want):
+            for k in ("x", "y", "w", "h", "area", "cx", "cy",
+                      "aspect_ratio", "extent", "solidity"):
+                assert g[k] == w_[k], (trial, k, g, w_)
