@@ -53,6 +53,13 @@ def _parse_stage_stats(stats: str) -> dict:
             # so the shuffle's compute is attributed too
             cur = m.group(2)[:120]
             out.setdefault(cur, {})
+            d = re.search(r"in ([\d.]+)(ms|s)$", raw.rstrip())
+            if d:
+                # operator WALL duration (first block queued -> last
+                # produced): the timeline view that separates ramp /
+                # barrier time from per-task compute
+                out[cur]["duration_s"] = round(
+                    float(d.group(1)) * _DUR_UNIT[d.group(2)], 2)
             continue
         if cur is None:
             continue

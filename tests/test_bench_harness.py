@@ -102,7 +102,9 @@ def test_parse_stage_stats_taskpool_and_alltoall(bench):
         "Dataset throughput:\n\t* Ray Data throughput: 1 rows/s\n")
     parsed = bench._parse_stage_stats(stats)
     assert parsed["ReadParquet->MapBatches(f)"] == {
-        "wall_total_s": 1.5, "cpu_total_s": 0.8, "output_rows": 120}
+        "duration_s": 0.13, "wall_total_s": 1.5, "cpu_total_s": 0.8,
+        "output_rows": 120}
+    assert parsed["Sort"]["duration_s"] == 2.26
     assert parsed["Sort"]["cpu_total_s"] == pytest.approx(2.0)
     assert parsed["Sort"]["wall_total_s"] == pytest.approx(0.03, abs=0.01)
     assert parsed["Sort"]["output_rows"] == 115

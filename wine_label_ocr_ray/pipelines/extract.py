@@ -84,7 +84,15 @@ def build_extract_pipeline(corpus_dir: str,
         import ray
         total_cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
-        num_buckets = max(16, 4 * total_cpus)
+        # default = ~1 bucket per cpu (floor 16): the groupby is a
+        # sort-based all-to-all whose scheduling overhead grows with
+        # in_blocks x partitions — measured at 150k docs/32 cpus the
+        # old 4x-cpus default (128 parts) cost 39-46 s vs 29-37 s at
+        # 16-32 parts, with identical output. Buckets must still grow
+        # with DATA (one bucket's span rows must fit a worker heap) —
+        # at real scale set assembly_num_partitions explicitly; rows
+        # are small feature structs, so ~1e6 docs/bucket is fine.
+        num_buckets = max(16, total_cpus)
     spans = spans.map_batches(lambda t: add_bucket(t, num_buckets),
                               batch_format="pyarrow")
     records = (spans.groupby("bucket")
