@@ -51,7 +51,9 @@ def _parse_stage_stats(stats: str) -> dict:
             # (Sort, shuffles) use a different header tail and nest
             # tab-indented map/reduce sub-stage blocks — capture both
             # so the shuffle's compute is attributed too
-            cur = m.group(2)[:120]
+            # keyed by index AND name: two same-named operators (e.g.
+            # two MapBatches(<lambda>) stages) must not silently merge
+            cur = f"op{m.group(1)} {m.group(2)}"[:120]
             out.setdefault(cur, {})
             d = re.search(r"in ([\d.]+)(ms|s)$", raw.rstrip())
             if d:

@@ -101,13 +101,14 @@ def test_parse_stage_stats_taskpool_and_alltoall(bench):
         "\t* Output num rows per block: 1 min, 3 max, 1 mean, 115 total\n"
         "Dataset throughput:\n\t* Ray Data throughput: 1 rows/s\n")
     parsed = bench._parse_stage_stats(stats)
-    assert parsed["ReadParquet->MapBatches(f)"] == {
+    assert parsed["op1 ReadParquet->MapBatches(f)"] == {
         "duration_s": 0.13, "wall_total_s": 1.5, "cpu_total_s": 0.8,
         "output_rows": 120}
-    assert parsed["Sort"]["duration_s"] == 2.26
-    assert parsed["Sort"]["cpu_total_s"] == pytest.approx(2.0)
-    assert parsed["Sort"]["wall_total_s"] == pytest.approx(0.03, abs=0.01)
-    assert parsed["Sort"]["output_rows"] == 115
+    assert parsed["op2 Sort"]["duration_s"] == 2.26
+    assert parsed["op2 Sort"]["cpu_total_s"] == pytest.approx(2.0)
+    assert parsed["op2 Sort"]["wall_total_s"] == pytest.approx(0.03,
+                                                               abs=0.01)
+    assert parsed["op2 Sort"]["output_rows"] == 115
 
 
 def test_scaling_probe_gate_excludes_constant_load(bench, tmp_path,

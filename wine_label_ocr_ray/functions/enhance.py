@@ -246,7 +246,10 @@ def find_label_roi(gray: np.ndarray) -> Tuple[int, int, int, int]:
     scale = min(1.0, 800.0 / max(H0, W0))
     if scale < 1.0:
         from .imaging import resize_bilinear
-        small = resize_bilinear(gray, int(H0 * scale), int(W0 * scale))
+        # extreme aspect ratios (1xN strips) would truncate a side to
+        # zero and crash edge_map — clamp to 1 px
+        small = resize_bilinear(gray, max(1, int(H0 * scale)),
+                                max(1, int(W0 * scale)))
     else:
         small = gray
     H, W = small.shape[:2]

@@ -68,9 +68,10 @@ RECORD_SCHEMA = pa.schema([
     ("record_id", pa.string()),
     ("valid", pa.bool_()),        # False for the empty-key guard (M28)
     ("mean_ocr_conf", pa.float64()),
+    # the single typed blob payload: downstream pair pipelines
+    # (blob_near_dup) carry this STRUCT through their shuffles and let
+    # Arrow's pandas conversion produce the per-row dicts — no JSON
+    # duplicate column (it ~4x'd the record parquet: 45 -> 206 MB at
+    # 150k docs) and no per-row Python serialization either
     ("blob", BLOB_STRUCT),
-    # the span stage's already-serialized blob payload, carried through
-    # assembly so downstream pair pipelines (blob_near_dup) never
-    # round-trip the struct column back through Python per batch
-    ("blob_json", pa.string()),
 ])

@@ -85,13 +85,24 @@ def _lineage(doc_files: List[str], cfg: PipelineConfig) -> Dict:
         st = os.stat(doc_file)
         inputs.append({"input_file": doc_file, "input_bytes": st.st_size,
                        "input_mtime_ns": st.st_mtime_ns})
-    out = {"config_hash": _config_hash(cfg)}
+    out = {"config_hash": _config_hash(cfg),
+           # output-schema fingerprint: a resumed run must not mix
+           # partitions committed under a DIFFERENT record schema with
+           # fresh ones (readers would null-fill the union and
+           # downstream consumers see phantom nulls) — a schema change
+           # re-executes old partitions instead
+           "schema": "|".join(f.name for f in _record_schema())}
     if len(inputs) == 1:
         # single-shard layout kept flat (round-1 manifest compatibility)
         out.update(inputs[0])
     else:
         out["inputs"] = inputs
     return out
+
+
+def _record_schema():
+    from ..schema import RECORD_SCHEMA
+    return RECORD_SCHEMA
 
 
 def _lineage_matches(files: List[str], cfg: PipelineConfig,
@@ -111,6 +122,10 @@ def _lineage_matches(files: List[str], cfg: PipelineConfig,
             return False
         expect = _lineage(files, cfg)
         expect["config_hash"] = prior_hash  # either accepted form
+        if "schema" not in prior_lineage:
+            # manifests from before schema tracking: their era's record
+            # schema is the current one by construction — accept
+            expect.pop("schema")
         return prior_lineage == expect
     except (FileNotFoundError, OSError, TypeError, KeyError, ValueError):
         return False

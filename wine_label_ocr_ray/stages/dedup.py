@@ -14,7 +14,6 @@
 
 from __future__ import annotations
 
-import json
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -460,7 +459,7 @@ def blob_pairs_in_block(g: pd.DataFrame, *, threshold: float,
                         pair_threshold: float) -> pd.DataFrame:
     """Pairwise blob similarity within one vintage block."""
     rows = g.sort_values("doc_id").to_dict("records")
-    blobs = [json.loads(r["blob_json"]) for r in rows]  # parse once, O(n)
+    blobs = [r["blob"] for r in rows]  # struct -> dict, no JSON parse
     out = {"doc_a": [], "doc_b": [], "blob_score": [], "similar": []}
     for i in range(len(rows)):
         bi = blobs[i]
@@ -511,24 +510,12 @@ def blob_near_dup_pairs(records_ds, *, threshold: float = 0.55,
         keep = pc.and_(pc.greater(counts, 0),
                        pc.is_valid(t["vintage"]))
         t2 = t.filter(keep)
-        if "blob_json" in t2.schema.names:
-            # records carry the span stage's serialized blob end to end
-            # (schema.RECORD_SCHEMA) — zero-copy column select, no
-            # per-row struct -> Python round trip
-            payload = t2["blob_json"]
-            if isinstance(payload, pa.ChunkedArray):
-                payload = payload.combine_chunks()
-        else:
-            # inputs built without the carried column (ad-hoc tests):
-            # serialize the struct once here
-            blob2 = t2["blob"]
-            if isinstance(blob2, pa.ChunkedArray):
-                blob2 = blob2.combine_chunks()
-            payload = pa.array([json.dumps(b) for b in blob2.to_pylist()],
-                               pa.string())
+        # the blob STRUCT itself rides the shuffle (compact Arrow, no
+        # JSON duplicate, no per-row Python serialization); the pair
+        # fns receive per-row dicts from Arrow's pandas conversion
         return pa.table({"doc_id": t2["doc_id"],
                          "vintage": t2["vintage"],
-                         "blob_json": payload})
+                         "blob": t2["blob"]})
 
     prepped = records_ds.map_batches(prep, batch_format="pyarrow")
 
@@ -550,10 +537,10 @@ def blob_near_dup_pairs(records_ds, *, threshold: float = 0.55,
                     my = zlib.crc32(str(r.doc_id).encode()) % s
                     for other in range(s):
                         a, b = min(my, other), max(my, other)
-                        out.append((r.doc_id, r.vintage, r.blob_json,
+                        out.append((r.doc_id, r.vintage, r.blob,
                                     a * s + b, my, a == b))
                 return pd.DataFrame(out, columns=["doc_id", "vintage",
-                                                  "blob_json", "sub",
+                                                  "blob", "sub",
                                                   "my_sub", "diag"])
 
             import functools
@@ -577,7 +564,7 @@ def _block_pair_fn(g: pd.DataFrame, *, threshold: float,
     off-diagonal group (a, b) owns only CROSS pairs (one row of each
     sub-block) — same-sub pairs there belong to the diagonal group."""
     rows = g.sort_values("doc_id").to_dict("records")
-    blobs = [json.loads(r["blob_json"]) for r in rows]
+    blobs = [r["blob"] for r in rows]  # struct -> dict, no JSON parse
     diag = bool(rows[0]["diag"]) if rows else True
     out = {"doc_a": [], "doc_b": [], "blob_score": [], "similar": []}
     for i in range(len(rows)):

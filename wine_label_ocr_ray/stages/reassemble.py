@@ -41,7 +41,6 @@ from .bucketing import hash_mod
 # BlobData = {} when the blob leg never ran, WineTracker.py:28).
 EMPTY_BLOB = {"roi_shape": [0, 0], "blob_count": 0,
               "blob_fingerprint": "", "blobs": []}
-EMPTY_BLOB_JSON = json.dumps(EMPTY_BLOB)
 
 
 def _merge_raw(raw_jsons: List[str]) -> Dict[str, List]:
@@ -108,7 +107,6 @@ def assemble_doc(rows: List[Dict]) -> Dict:
         "record_id": T.hash_id(maker_norm, vintage_str),
         "valid": not (key == "|" or (not maker_norm and not vintage_str)),
         "blob": blob,
-        "blob_json": blob_json or EMPTY_BLOB_JSON,
     }
 
 
