@@ -405,7 +405,9 @@ def _record_baseline(result: dict) -> None:
                 f"\nCanary gate: 20k-doc 32-cpu control BRACKETING "
                 f"each trial (before, after); pairs "
                 f"{result['canary_samples']} s — EVERY trial FAILED "
-                f"the gate (worse-of-pair > 1.25x the quietest): the "
+                f"the environment gate (canary worse-of-pair > 1.25x "
+                f"the quietest, OR a leg-adjacent effective-core "
+                f"probe below threshold — see probe line): the "
                 f"medians above are over all {result['attempts']} "
                 f"gate-FAILED attempts and this run is NOT a valid "
                 f"measurement of the engine.\n")
