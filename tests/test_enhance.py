@@ -204,3 +204,50 @@ def test_turntable_preprocess_binarizes_with_close():
                                                       binary_close)
     closed = binary_close(m > 0, KERNEL_2X2)
     assert closed[10, 10]
+
+
+def test_clahe_hand_computed_single_tile():
+    """VERDICT r4 item 7: pin the cv2 CLAHE algorithm on a hand-traced
+    single-tile case. img 2x2 [[0,0],[255,255]], tiles=(1,1), default
+    clip 2.0: area=4, clip=max(int(2*4/256),1)=1; hist{0:2,255:2} clips
+    to 1 each, clipped=2, batch=2//256=0, residual=2, step=128 -> bins
+    0 and 128 get +1. cdf(0)=2, cdf(255)=4; lut=round(cdf*255/4):
+    lut[0]=round(127.5)=128 (half-even), lut[255]=255. One tile ->
+    interpolation degenerates to the plain LUT."""
+    img = np.array([[0, 0], [255, 255]], dtype=np.uint8)
+    out = E.clahe(img, clip_limit=2.0, tiles=(1, 1))
+    assert out.tolist() == [[128, 128], [255, 255]]
+
+
+def test_clahe_tile_interpolation_no_seams():
+    """Two vertical tiles with different LUTs: output varies SMOOTHLY
+    across the tile boundary (bilinear LUT interpolation), instead of
+    the per-tile-equalization hard seam."""
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = 50   # left tile uniform 50
+    img[:, 8:] = 200  # right tile uniform 200
+    out = E.clahe(img, clip_limit=1000.0, tiles=(1, 2))
+    # each ROW is identical; across columns the value ramps between
+    # the two tile LUT responses rather than stepping once at x=8
+    row = out[0].astype(int)
+    assert (out == row[None, :]).all()
+    steps = np.abs(np.diff(row))
+    assert steps.max() < 160  # a hard seam would jump ~255 at x=8
+    # edge-clamped: outermost quarter-tiles are pure single-tile LUT
+    assert row[0] == row[1] == row[2] == row[3]
+
+
+def test_clahe_reflect101_padding_indices():
+    from wine_label_ocr_ray.functions.enhance import _reflect101_indices
+    assert _reflect101_indices(4, 6).tolist() == [0, 1, 2, 3, 2, 1]
+    assert _reflect101_indices(1, 3).tolist() == [0, 0, 0]
+    assert _reflect101_indices(3, 8).tolist() == [0, 1, 2, 1, 0, 1, 2, 1]
+
+
+def test_clahe_nondivisible_shape_runs_and_matches_divisible_core():
+    """A 10x13 image with 8x8 tiles pads reflect-101 to 16x16 for the
+    histograms but writes only the 10x13 output."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(10, 13), dtype=np.uint8)
+    out = E.clahe(img)
+    assert out.shape == img.shape and out.dtype == np.uint8

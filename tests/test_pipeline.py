@@ -9,7 +9,8 @@ from wine_label_ocr_ray.pipelines.extract import build_extract_pipeline
 from wine_label_ocr_ray.synth import generate_corpus
 
 RECORD_FIELDS = ("custom_id", "maker_name", "maker_norm", "vintage",
-                 "barcode", "key", "record_id", "valid", "mean_ocr_conf")
+                 "barcode", "key", "record_id", "valid", "mean_ocr_conf",
+                 "raw")
 
 
 @pytest.fixture(scope="module")

@@ -61,7 +61,8 @@ def test_semi_anti_join_paths_agree(ray_session):
     distributed left_semi/left_anti ``Dataset.join`` path
     (broadcast_max=0) emits exactly the broadcast-isin path's rows."""
     from wine_label_ocr_ray.pipelines import queries_rel as R
-    for fn in (R.q4_semi_join, R.anti_join_customers):
+    for fn in (R.q4_semi_join, R.anti_join_customers,
+               R.q3_shipping_priority):
         bc = fn(TESTDATA, broadcast_max=10**9)
         dist = fn(TESTDATA, broadcast_max=0)
         assert len(dist) > 0, fn.__name__

@@ -206,3 +206,28 @@ def test_transitional_config_hash_accepted():
         assert not _lineage_matches([path], other, lin)
     finally:
         os.unlink(path)
+
+
+def test_schema_fingerprint_change_forces_reexecution(ray_session, corpus,
+                                                      tmp_path):
+    """VERDICT r4 item 3 + ADVICE r4: a partition committed under a
+    DIFFERENT record schema (e.g. the pre-r5 names-only fingerprint,
+    or any type-only change) must re-execute on resume instead of
+    mixing incompatible partitions."""
+    import json
+
+    out = str(tmp_path / "schema_out")
+    run_checkpointed(corpus, out)
+    manifests = sorted(glob.glob(os.path.join(out, "_manifests", "*.json")))
+    assert manifests
+    # simulate one partition committed under the old names-only schema
+    with open(manifests[0]) as f:
+        m = json.load(f)
+    assert ":" in m["lineage"]["schema"]  # fingerprint carries types
+    m["lineage"]["schema"] = "|".join(
+        part.split(":", 1)[0] for part in m["lineage"]["schema"].split("|"))
+    with open(manifests[0], "w") as f:
+        json.dump(m, f)
+
+    summary = run_checkpointed(corpus, out)
+    assert summary["executed"] == 1 and summary["skipped"] == 3

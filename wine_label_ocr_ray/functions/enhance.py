@@ -8,12 +8,14 @@ oracle share these implementations).
 - ``bilateral_filter``-> cv2.bilateralFilter(7, 50, 50)
   ``final_run_ocr.py:96`` (vectorized shifted-window passes)
 - ``clahe``           -> cv2.createCLAHE(2.0, 8x8) in
-  ``final_run_ocr.py:94`` / ``Char_Count_TurnTable.py:63``
+  ``final_run_ocr.py:94`` / ``Char_Count_TurnTable.py:63`` (full cv2
+  algorithm: integer clip + stepped residual redistribution + bilinear
+  tile-LUT interpolation)
 - ``unsharp``         -> addWeighted(g,1.5,blur,-0.5) ``final_run_ocr.py:100-101``
 - ``adaptive_threshold`` -> adaptiveThreshold(GAUSSIAN, 31, 7)
   ``final_run_ocr.py:102-104``
 - ``enhance_for_ocr`` -> ``_enhance_for_ocr`` chain ``final_run_ocr.py:92-105``
-  (INTER_CUBIC upscale approximated bilinear; documented divergence)
+  (INTER_CUBIC upscale via imaging.resize_bicubic, A=-0.75 kernel)
 - ``rotate_nearest``  -> imutils.rotate equivalent used by alignment
   (``hybrid.py:148-170``)
 - ``find_label_roi``  -> ``hybrid.py:102-146`` scoring heuristic
@@ -147,25 +149,72 @@ def edge_map(gray: np.ndarray, lo: float = 50.0,
     return _binary_dilate(edges, KERNEL_2X2).astype(np.uint8) * 255
 
 
+def _reflect101_indices(n: int, total: int) -> np.ndarray:
+    """BORDER_REFLECT_101 source index for positions 0..total-1 over an
+    axis of length n (cv2 copyMakeBorder semantics, any pad width)."""
+    if n == 1:
+        return np.zeros(total, dtype=np.int64)
+    idx = np.arange(total, dtype=np.int64) % (2 * (n - 1))
+    return np.where(idx >= n, 2 * (n - 1) - idx, idx)
+
+
 def clahe(gray: np.ndarray, clip_limit: float = 2.0,
           tiles: Tuple[int, int] = (8, 8)) -> np.ndarray:
-    """Tile-based contrast-limited histogram equalization (bilinear
-    tile interpolation omitted: per-tile equalization only)."""
+    """CLAHE with cv2 semantics (cv2.createCLAHE(clipLimit, tileGrid),
+    imgproc/clahe.cpp): reflect-101 pad to a tile-divisible size,
+    per-tile histogram with INTEGER clip = max(int(clip*area/256), 1),
+    cv2's exact excess redistribution (uniform batch + the stepped
+    residual loop), per-tile LUT = round(cdf * 255/area), then each
+    OUTPUT pixel bilinearly interpolates the 4 neighboring tile LUTs
+    (tile-center mapping, edge-clamped) — no tile seams."""
     H, W = gray.shape
-    th, tw = max(1, H // tiles[0]), max(1, W // tiles[1])
-    out = np.empty_like(gray)
-    for ty in range(0, H, th):
-        for tx in range(0, W, tw):
-            tile = gray[ty:ty + th, tx:tx + tw]
-            hist = np.bincount(tile.reshape(-1), minlength=256).astype(
-                np.float64)
-            clip = clip_limit * tile.size / 256.0
-            excess = np.maximum(hist - clip, 0).sum()
-            hist = np.minimum(hist, clip) + excess / 256.0
-            cdf = hist.cumsum()
-            cdf = (cdf / cdf[-1] * 255.0)
-            out[ty:ty + th, tx:tx + tw] = cdf[tile].astype(np.uint8)
-    return out
+    ty_n, tx_n = int(tiles[0]), int(tiles[1])
+    th = -(-H // ty_n)  # ceil
+    tw = -(-W // tx_n)
+    if (th * ty_n, tw * tx_n) != (H, W):
+        padded = gray[np.ix_(_reflect101_indices(H, th * ty_n),
+                             _reflect101_indices(W, tw * tx_n))]
+    else:
+        padded = gray
+    area = th * tw
+    # per-tile histograms in one bincount (offset trick)
+    t = (padded.reshape(ty_n, th, tx_n, tw).transpose(0, 2, 1, 3)
+               .reshape(ty_n * tx_n, area).astype(np.int64))
+    hist = np.bincount(
+        (t + np.arange(ty_n * tx_n)[:, None] * 256).reshape(-1),
+        minlength=ty_n * tx_n * 256).reshape(ty_n * tx_n, 256)
+    clip = max(int(clip_limit * area / 256.0), 1)
+    clipped = np.maximum(hist - clip, 0).sum(axis=1)
+    hist = np.minimum(hist, clip)
+    hist += (clipped // 256)[:, None]
+    residual = clipped % 256
+    for k in np.flatnonzero(residual):  # <=256 increments per tile
+        r = int(residual[k])
+        step = max(256 // r, 1)
+        hist[k, 0:r * step:step] += 1
+    lut = np.clip(np.round(hist.cumsum(axis=1) * (255.0 / area)),
+                  0, 255).astype(np.uint8).reshape(ty_n, tx_n, 256)
+
+    # bilinear tile interpolation over the ORIGINAL image
+    txf = np.arange(W, dtype=np.float64) / tw - 0.5
+    tx1 = np.floor(txf).astype(np.int64)
+    xa = (txf - tx1)[None, :]
+    tx1c = np.clip(tx1, 0, tx_n - 1)
+    tx2c = np.clip(tx1 + 1, 0, tx_n - 1)
+    tyf = np.arange(H, dtype=np.float64) / th - 0.5
+    ty1 = np.floor(tyf).astype(np.int64)
+    ya = (tyf - ty1)[:, None]
+    ty1c = np.clip(ty1, 0, ty_n - 1)
+    ty2c = np.clip(ty1 + 1, 0, ty_n - 1)
+
+    v = gray.astype(np.int64)
+    l11 = lut[ty1c[:, None], tx1c[None, :], v].astype(np.float64)
+    l12 = lut[ty1c[:, None], tx2c[None, :], v].astype(np.float64)
+    l21 = lut[ty2c[:, None], tx1c[None, :], v].astype(np.float64)
+    l22 = lut[ty2c[:, None], tx2c[None, :], v].astype(np.float64)
+    res = (l11 * (1 - xa) * (1 - ya) + l12 * xa * (1 - ya)
+           + l21 * (1 - xa) * ya + l22 * xa * ya)
+    return np.clip(np.round(res), 0, 255).astype(np.uint8)
 
 
 def unsharp(gray: np.ndarray, sigma: float = 1.0, amount: float = 1.5,
@@ -192,9 +241,8 @@ def enhance_for_ocr(gray: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     g = bilateral_filter(g, 7, 50.0, 50.0)
     h, w = g.shape
     if max(h, w) < 250:
-        # cv2 uses INTER_CUBIC here; bilinear is the numpy stand-in
-        from .imaging import resize_bilinear
-        g = resize_bilinear(g, h * 2, w * 2)
+        from .imaging import resize_bicubic
+        g = resize_bicubic(g, h * 2, w * 2)  # cv2 INTER_CUBIC, :99
     sharp = unsharp(g, 1.0, 1.5, 0.5)
     binar = adaptive_threshold(sharp, 31, 7.0)
     return sharp, binar

@@ -354,10 +354,10 @@ def extract_smart_blobs(mask: np.ndarray, min_area: float = 30.0) -> List[Dict]:
 
 
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Vectorized bilinear resize (documented stand-in for the
-    reference's cv2 INTER_CUBIC — same contract, smoother kernel
-    unavailable without cv2; the divergence class is the same as the
-    bilateral~gaussian note in enhance.py)."""
+    """Vectorized bilinear resize (cv2 INTER_LINEAR semantics: the
+    half-pixel center mapping; used where the reference resizes with
+    the default interpolation — Photo_Stitch.py:130,
+    final_run_ocr.py:259)."""
     H, W = img.shape[:2]
     if (H, W) == (out_h, out_w):
         return img.copy()
@@ -376,6 +376,49 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx +
            c * wy * (1 - wx) + d * wy * wx)
     return np.round(out).astype(img.dtype)
+
+
+def _cubic_coeffs(frac: np.ndarray) -> np.ndarray:
+    """cv2's interpolateCubic weights (imgproc/resize: BiCubic kernel
+    with A = -0.75) for the 4 taps around each sample, from the
+    fractional offsets. Shape: frac.shape + (4,)."""
+    A = -0.75
+    x = frac
+    w = np.empty(x.shape + (4,), dtype=np.float64)
+    w[..., 0] = ((A * (x + 1) - 5 * A) * (x + 1) + 8 * A) * (x + 1) - 4 * A
+    w[..., 1] = ((A + 2) * x - (A + 3)) * x * x + 1
+    w[..., 2] = ((A + 2) * (1 - x) - (A + 3)) * (1 - x) * (1 - x) + 1
+    w[..., 3] = 1.0 - w[..., 0] - w[..., 1] - w[..., 2]
+    return w
+
+
+def resize_bicubic(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bicubic resize with cv2 INTER_CUBIC semantics
+    (``final_run_ocr.py:99``'s 2x OCR upscale): Catmull-Rom-family
+    kernel with A=-0.75, half-pixel center mapping, edge-replicate
+    taps, separable row/column passes. Bit-parity with cv2's
+    fixed-point inner loop is not claimed; the kernel, taps and
+    mapping are exact (pinned against a naive per-pixel evaluation in
+    tests/test_imaging.py)."""
+    H, W = img.shape[:2]
+    if (H, W) == (out_h, out_w):
+        return img.copy()
+    f = img.astype(np.float64)
+
+    ys = (np.arange(out_h) + 0.5) * H / out_h - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    wy = _cubic_coeffs(ys - y0)                      # (out_h, 4)
+    rows = np.zeros((out_h, W), dtype=np.float64)
+    for i in range(4):
+        rows += wy[:, i:i + 1] * f[np.clip(y0 - 1 + i, 0, H - 1)]
+
+    xs = (np.arange(out_w) + 0.5) * W / out_w - 0.5
+    x0 = np.floor(xs).astype(np.int64)
+    wx = _cubic_coeffs(xs - x0)                      # (out_w, 4)
+    out = np.zeros((out_h, out_w), dtype=np.float64)
+    for j in range(4):
+        out += wx[None, :, j] * rows[:, np.clip(x0 - 1 + j, 0, W - 1)]
+    return np.clip(np.round(out), 0, 255).astype(img.dtype)
 
 
 def stitch_horizontal(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:

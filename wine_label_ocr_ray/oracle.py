@@ -181,5 +181,13 @@ def oracle_records(corpus_dir: str, *, confidence_threshold: float = 0.01,
                 "record_id": T.hash_id(maker_norm, vintage),
                 "valid": not (key == "|" or (not maker_norm and not vintage)),
                 "blob": blob,
+                # ocr_raw in the record schema's flattened entry form
+                # (independent of stages.media.raw_to_entries by design)
+                "raw": [
+                    {"bucket": k, "text": t, "conf": c}
+                    for k, v in merged_raw.items()
+                    for (t, c) in (v if isinstance(v, list)
+                                   else [(v, None)])
+                ],
             }
     return out

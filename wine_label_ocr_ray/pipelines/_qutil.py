@@ -103,3 +103,49 @@ def empty_frame(**cols):
     import pandas as pd
     return pd.DataFrame({k: pd.Series([], dtype=v)
                          for k, v in cols.items()})
+
+
+def result_fingerprint(obj) -> str:
+    """Order-insensitive self-consistency hash of a query result
+    (Dataset / DataFrame / pyarrow Table): columns sorted by name,
+    floats rounded to 6 decimals, each row serialized as canonical
+    JSON, rows sorted, md5 over the lot. Used to PIN the rows-only
+    (non-SQL-oracled) queries against regression — the driver can't
+    DuckDB-compare them, so committed fixtures of these hashes at
+    sf0.001/sf0.01 stand in (tests/test_rows_only_hashes.py)."""
+    import hashlib
+    import json
+
+    if hasattr(obj, "to_pandas"):
+        obj = obj.to_pandas()
+    df = obj[sorted(obj.columns)]
+
+    def norm(v):
+        if isinstance(v, np.ndarray):
+            return [norm(x) for x in v.tolist()]
+        if isinstance(v, (list, tuple)):
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in sorted(v.items())}
+        if isinstance(v, (np.floating, float)):
+            return None if pd.isna(v) else round(float(v), 6)
+        if isinstance(v, (np.bool_, bool)):
+            return bool(v)
+        if isinstance(v, np.integer):
+            return int(v)
+        if v is None:
+            return None
+        if isinstance(v, (str, int)):
+            return v
+        try:
+            if pd.isna(v):
+                return None
+        except (TypeError, ValueError):
+            pass
+        return str(v)  # timestamps etc: deterministic repr
+
+    rows = sorted(
+        json.dumps([norm(v) for v in row], ensure_ascii=False,
+                   separators=(",", ":"))
+        for row in df.itertuples(index=False, name=None))
+    return hashlib.md5("\n".join(rows).encode("utf-8")).hexdigest()

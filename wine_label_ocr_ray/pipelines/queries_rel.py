@@ -196,28 +196,45 @@ SELECT o_orderpriority, count(*) AS n FROM (
 
 # ------------------------------------------------------------- joins
 
-def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3 shape: broadcast semi-join on the small filtered
-    dimension (customer segment) + hash join orders<->lineitem
-    (Dataset.join, hash-partitioned), grouped revenue, top 10."""
+def q3_shipping_priority(sf_dir: str, *,
+                         broadcast_max: Optional[int] = None) -> pd.DataFrame:
+    """TPC-H Q3 shape: volume-gated semi-join on the filtered dimension
+    (customer segment — ~20% of customer, fact-scale at 100 TB) + hash
+    join orders<->lineitem (Dataset.join, hash-partitioned), grouped
+    revenue, top 10. Below ``broadcast_max`` distinct segment keys the
+    set is pulled once and broadcast (ray.put + np.isin); above, a
+    distributed ``left_semi`` Dataset.join keeps it off the driver —
+    the same gate as q4_semi_join / anti_join_customers."""
     import ray
-    seg_keys = set(
+    if broadcast_max is None:
+        broadcast_max = _semi_broadcast_max()
+    keys_ds, nkeys = _distinct_keys(
         read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
-                   filter=(pc.field("c_mktsegment") == "BUILDING"))
-        .unique("c_custkey") or [])  # unique() -> None on empty input
-    keys_ref = ray.put(np.array(sorted(seg_keys), dtype=np.int64))
+                   filter=(pc.field("c_mktsegment") == "BUILDING")),
+        "c_custkey", "o_custkey")
 
     cutoff = _dt.datetime(1996, 3, 15)
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"],
                         filter=(pc.field("o_orderdate") < pa.scalar(cutoff)))
 
-    def semi(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
-        return t.filter(pa.array(mask)).drop_columns(["o_custkey"])
+    if nkeys <= broadcast_max:
+        hot = keys_ds.to_pandas()["o_custkey"].to_numpy() \
+            if nkeys else np.array([], dtype=np.int64)
+        keys_ref = ray.put(np.sort(hot.astype(np.int64)))
 
-    orders = orders.map_batches(semi, batch_format="pyarrow")
+        def semi(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False),
+                           keys)
+            return t.filter(pa.array(mask)).drop_columns(["o_custkey"])
+
+        orders = orders.map_batches(semi, batch_format="pyarrow")
+    else:
+        nparts = max(2, min(join_partitions(), nkeys // 200_000 + 2))
+        orders = orders.join(keys_ds, join_type="left_semi",
+                             num_partitions=nparts,
+                             on=("o_custkey",)).drop_columns(["o_custkey"])
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount",

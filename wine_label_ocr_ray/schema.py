@@ -39,6 +39,19 @@ OUT_SPAN_STRUCT = pa.struct([
     ("order", pa.int32()),
 ])
 
+# The reference record's ocr_raw candidate map
+# (scan_and_store.py:175-184: dict<class, list<[text, conf]>> + the
+# bare-string vintage_from_fallback) in SURVEY section 1.2's
+# list-of-struct-with-bucket form. Entry order preserves the dict
+# insertion order the assembly merge relies on; a NULL conf marks a
+# bare-string bucket value.
+RAW_ENTRY_STRUCT = pa.struct([
+    ("bucket", pa.string()),
+    ("text", pa.string()),
+    ("conf", pa.float64()),
+])
+RAW_TYPE = pa.list_(RAW_ENTRY_STRUCT)
+
 BLOB_STRUCT = pa.struct([
     ("roi_shape", pa.list_(pa.int32(), 2)),
     ("blob_count", pa.int32()),
@@ -74,4 +87,6 @@ RECORD_SCHEMA = pa.schema([
     # duplicate column (it ~4x'd the record parquet: 45 -> 206 MB at
     # 150k docs) and no per-row Python serialization either
     ("blob", BLOB_STRUCT),
+    # ocr_raw, typed end to end — no JSON column anywhere in the record
+    ("raw", RAW_TYPE),
 ])

@@ -90,8 +90,11 @@ def _lineage(doc_files: List[str], cfg: PipelineConfig) -> Dict:
            # partitions committed under a DIFFERENT record schema with
            # fresh ones (readers would null-fill the union and
            # downstream consumers see phantom nulls) — a schema change
-           # re-executes old partitions instead
-           "schema": "|".join(f.name for f in _record_schema())}
+           # re-executes old partitions instead. Names AND types: a
+           # type-only change (e.g. a blob field widening) must also
+           # invalidate, not silently mix incompatible partitions
+           "schema": "|".join(f"{f.name}:{f.type}"
+                              for f in _record_schema())}
     if len(inputs) == 1:
         # single-shard layout kept flat (round-1 manifest compatibility)
         out.update(inputs[0])

@@ -112,12 +112,28 @@ def extract_media_fields(decoded: Dict, gray: np.ndarray, *,
     return {
         "span_text": " ".join(span_texts).strip(),
         "maker_name": out_maker,
-        "raw_json": json.dumps(raw, ensure_ascii=False),
+        "raw": raw_to_entries(raw),
         "vintage_str": out_vintage,
         "vintage_by_yolo": vintage_by_yolo,
         "barcode": barcode_engine.scan(decoded),
-        "blob_json": json.dumps(blob, ensure_ascii=False),
+        "blob": blob,
     }
+
+
+def raw_to_entries(raw: Dict) -> List[Dict]:
+    """Candidate map -> typed RAW_ENTRY_STRUCT list (spans.RAW_TYPE).
+    Entry order = dict insertion order + per-bucket list order, so the
+    assembly-side rebuild reproduces the map byte-identically; a bare
+    string bucket value (vintage_from_fallback) becomes one entry with
+    a NULL conf."""
+    out: List[Dict] = []
+    for bucket, v in raw.items():
+        if isinstance(v, list):
+            out.extend({"bucket": bucket, "text": t, "conf": float(c)}
+                       for (t, c) in v)
+        else:
+            out.append({"bucket": bucket, "text": v, "conf": None})
+    return out
 
 
 class MediaExtract:
@@ -154,22 +170,23 @@ class MediaExtract:
         payloads = self.store.fetch(media_refs)
 
         # compute replacement values for media rows only, then splice
-        # them in with replace_with_mask — no full-column python
-        # round-trips for the (large) text-span columns
+        # them in — no full-column python round-trips for the (large)
+        # text-span columns
         vals: Dict[str, List] = {name: []
                                  for name in ("span_text", "maker_name",
-                                              "raw_json", "vintage_str",
+                                              "raw", "vintage_str",
                                               "vintage_by_yolo", "barcode",
-                                              "blob_json")}
+                                              "blob")}
         for ref in media_refs:
             payload = payloads.get(ref)
             if payload is None:
                 # poison-pill row: emit an error marker instead of
                 # failing the block (SURVEY.md section 4.2 retries note)
                 fields = {"span_text": "", "maker_name": None,
-                          "raw_json": json.dumps({"error": "missing_media"}),
+                          "raw": [{"bucket": "error",
+                                   "text": "missing_media", "conf": None}],
                           "vintage_str": None, "vintage_by_yolo": False,
-                          "barcode": None, "blob_json": None}
+                          "barcode": None, "blob": None}
             else:
                 decoded, gray = decode_payload(payload)
                 fields = extract_media_fields(
@@ -183,14 +200,25 @@ class MediaExtract:
                 vals[name].append(fields[name])
 
         mask_arr = pa.array(mask_np)
+        # nested (list/struct) columns: replace_with_mask has no nested
+        # kernel — scatter via a null-masked take instead. Valid because
+        # text rows carry NULL raw/blob by construction (explode_spans),
+        # so "media value where media, null elsewhere" IS the splice.
+        scatter_idx = np.zeros(len(batch), dtype=np.int64)
+        scatter_idx[media_idx] = np.arange(len(media_idx))
+        scatter = pa.array(scatter_idx, mask=~mask_np)
+
         out = batch
         for name, values in vals.items():
             field_idx = out.schema.get_field_index(name)
-            col = out.column(name)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
             typ = out.schema.field(name).type
-            replaced = pc.replace_with_mask(col, mask_arr,
-                                            pa.array(values, typ))
+            new_vals = pa.array(values, typ)
+            if pa.types.is_nested(typ):
+                replaced = pc.take(new_vals, scatter)
+            else:
+                col = out.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                replaced = pc.replace_with_mask(col, mask_arr, new_vals)
             out = out.set_column(field_idx, name, replaced)
         return out

@@ -22,13 +22,14 @@ order, documented here and mirrored by the oracle):
   canonical key uses the STRING vintage (``scan_and_store.py:46-47``).
 - valid: the empty-key guard (``scan_and_store.py:198-209``).
 
-Rows entering this shuffle are small feature structs (blob features as
-JSON, never pixels), so the all-to-all exchange stays cheap at scale.
+Rows entering this shuffle are small TYPED feature structs (blob
+features as an Arrow struct, raw candidates as a list-of-struct —
+never pixels, never JSON), so the all-to-all exchange stays cheap at
+scale and nothing re-parses on the assembly side.
 """
 
 from __future__ import annotations
 
-import json
 from typing import Dict, List
 
 import pyarrow as pa
@@ -36,6 +37,7 @@ import pyarrow as pa
 from ..functions import text as T
 from ..schema import RECORD_SCHEMA
 from .bucketing import hash_mod
+from .media import raw_to_entries
 
 # Sentinel for documents with no media span (reference records carry
 # BlobData = {} when the blob leg never ran, WineTracker.py:28).
@@ -43,17 +45,21 @@ EMPTY_BLOB = {"roi_shape": [0, 0], "blob_count": 0,
               "blob_fingerprint": "", "blobs": []}
 
 
-def _merge_raw(raw_jsons: List[str]) -> Dict[str, List]:
+def _merge_raw(raw_lists: List[List[Dict]]) -> Dict[str, List]:
+    """Typed RAW entry lists (stages.spans.RAW_TYPE) -> the reference's
+    candidate map. Entry order is the original dict insertion order, so
+    setdefault-merge reproduces the per-image map merge exactly; a NULL
+    conf marks a bare-string bucket value (vintage_from_fallback)."""
     merged: Dict[str, List] = {}
-    for rj in raw_jsons:
-        if not rj:
+    for entries in raw_lists:
+        if not entries:
             continue
-        raw = json.loads(rj)
-        for k, v in raw.items():
-            if isinstance(v, list):
-                merged.setdefault(k, []).extend(tuple(x) for x in v)
-            else:  # vintage_from_fallback is a bare string
-                merged.setdefault(k, v)
+        for e in entries:
+            if e["conf"] is None:  # bare string bucket
+                merged.setdefault(e["bucket"], e["text"])
+            else:
+                merged.setdefault(e["bucket"], []).append(
+                    (e["text"], e["conf"]))
     return merged
 
 
@@ -71,7 +77,7 @@ def assemble_doc(rows: List[Dict]) -> Dict:
         m = r["maker_name"]
         if m and len(m) >= 2 and (not maker_raw or len(m) > len(maker_raw)):
             maker_raw = m
-    merged_raw = _merge_raw([r["raw_json"] for r in media_rows])
+    merged_raw = _merge_raw([r["raw"] for r in media_rows])
     maker_norm = T.normalize_maker(maker_raw) if maker_raw else ""
     if not maker_norm:
         maker_norm = T.extract_best_maker_from_raw(merged_raw)
@@ -85,11 +91,10 @@ def assemble_doc(rows: List[Dict]) -> Dict:
     vintage_int = T.to_int_year(vintage_str)
 
     barcode = next((r["barcode"] for r in media_rows if r["barcode"]), None)
-    blob_json = next((r["blob_json"] for r in media_rows if r["blob_json"]),
-                     None)
     # no-media docs get the sentinel empty blob rather than a null
     # struct: parquet cannot write null structs with list children
-    blob = json.loads(blob_json) if blob_json else EMPTY_BLOB
+    blob = next((r["blob"] for r in media_rows if r["blob"] is not None),
+                None) or EMPTY_BLOB
 
     confs = [c for arr in merged_raw.values() if isinstance(arr, list)
              for (_t, c) in arr]
@@ -107,6 +112,7 @@ def assemble_doc(rows: List[Dict]) -> Dict:
         "record_id": T.hash_id(maker_norm, vintage_str),
         "valid": not (key == "|" or (not maker_norm and not vintage_str)),
         "blob": blob,
+        "raw": raw_to_entries(merged_raw),
     }
 
 

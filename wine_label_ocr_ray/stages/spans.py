@@ -20,10 +20,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import text as T
+from ..schema import BLOB_STRUCT, RAW_TYPE
 
 # Intermediate span-row schema shared by the text and media stages.
-# blob is carried as a JSON string through the shuffle (features only,
-# never pixels — SURVEY.md section 4.2 "never shuffle wide rows").
+# raw + blob are TYPED Arrow columns riding the reassembly shuffle
+# (features only, never pixels — SURVEY.md section 4.2 "never shuffle
+# wide rows"); no JSON serialize/parse anywhere on the flagship path.
+#
+# raw = the reference's ocr_raw candidate map in schema.RAW_TYPE's
+# list-of-struct-with-bucket form (see schema.py for the encoding).
 SPAN_ROW_FIELDS = [
     ("doc_id", pa.string()),
     ("offset", pa.int32()),
@@ -32,11 +37,11 @@ SPAN_ROW_FIELDS = [
     ("span_text", pa.string()),
     ("text_year", pa.string()),
     ("maker_name", pa.string()),
-    ("raw_json", pa.string()),
+    ("raw", RAW_TYPE),
     ("vintage_str", pa.string()),
     ("vintage_by_yolo", pa.bool_()),
     ("barcode", pa.string()),
-    ("blob_json", pa.string()),
+    ("blob", BLOB_STRUCT),
 ]
 SPAN_ROW_SCHEMA = pa.schema(SPAN_ROW_FIELDS)
 
@@ -65,11 +70,11 @@ def explode_spans(batch: pa.Table) -> pa.Table:
         "span_text": pc.struct_field(flat, "text"),
         "text_year": nulls,
         "maker_name": nulls,
-        "raw_json": nulls,
+        "raw": pa.nulls(n, RAW_TYPE),
         "vintage_str": nulls,
         "vintage_by_yolo": pa.array(np.zeros(n, dtype=bool)),
         "barcode": nulls,
-        "blob_json": nulls,
+        "blob": pa.nulls(n, BLOB_STRUCT),
     }, schema=SPAN_ROW_SCHEMA)
 
 

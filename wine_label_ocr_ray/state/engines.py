@@ -204,9 +204,11 @@ def default_engines(confidence_threshold: float = 0.01):
 # barcode). Statically-registered names resolve on workers too (the
 # module ships by value); runtime-registered custom engines should be
 # passed to PipelineConfig.engines as the factory CALLABLE itself
-# (cloudpickle ships it by value) rather than a name. Production
-# adapters (ultralytics YOLO / PaddleOCR / pytesseract / pyzbar per
-# SURVEY section 2.4) register here when their libraries exist.
+# (cloudpickle ships it by value) rather than a name. The
+# "production" entry (ultralytics YOLO / PaddleOCR / pyzbar, SURVEY
+# section 2.4) is registered below from state/adapters.py — its
+# classes import their packages lazily in __init__, raising a clear
+# ImportError naming the missing pip package.
 ENGINE_FACTORIES = {"synthetic": default_engines}
 
 
@@ -222,3 +224,9 @@ __all__ = [
     "BlobAnalyzer", "default_engines", "ENGINE_FACTORIES",
     "resolve_engines", "decode_payload",
 ]
+
+# bottom import purely for side effect: adapters.py subclasses the
+# ABCs above and registers ENGINE_FACTORIES["production"] at ITS
+# bottom (import-order-safe both ways round; heavy packages import
+# lazily inside the adapter constructors)
+from . import adapters  # noqa: E402,F401
