@@ -55,7 +55,9 @@ def _parse_stage_stats(stats: str) -> dict:
             # two MapBatches(<lambda>) stages) must not silently merge
             cur = f"op{m.group(1)} {m.group(2)}"[:120]
             out.setdefault(cur, {})
-            d = re.search(r"in ([\d.]+)(ms|s)$", raw.rstrip())
+            # full _DUR_UNIT table: a multi-minute operator header
+            # reports "in 2.3m" and must not lose its duration
+            d = re.search(r"in ([\d.]+)(us|ms|s|m)$", raw.rstrip())
             if d:
                 # operator WALL duration (first block queued -> last
                 # produced): the timeline view that separates ramp /
@@ -110,6 +112,20 @@ def run_bench() -> dict:
 
     # corpus generation is setup, not measured (cached across runs)
     generate_corpus(CORPUS_DIR, num_docs=BENCH_DOCS, seed=42, use_ray=True)
+
+    # measured: the sf-dir corpus DERIVATION (the fan-out that fronts
+    # flagship_extract in the driver's correctness runs) — fresh every
+    # bench so the recorded number tracks the Ray-parallel deriver
+    # (VERDICT r4 item 8), not a cache hit
+    import shutil as _sh
+    from wine_label_ocr_ray.synth import derive_corpus_from_documents
+    _derive_dir = "/tmp/wlor_bench_derive"
+    _sh.rmtree(_derive_dir, ignore_errors=True)
+    _t0 = time.time()
+    derive_corpus_from_documents(
+        os.path.join(sf_dir, "documents.parquet"), _derive_dir, seed=42)
+    corpus_derive_sec = round(time.time() - _t0, 3)
+    _sh.rmtree(_derive_dir, ignore_errors=True)
 
     # Plain bench: max-throughput pool (num_cpus-2). Scaling sets
     # WLOR_POOL_FRACTION=0.75 so BOTH levels get the SAME pool
@@ -189,9 +205,12 @@ def run_bench() -> dict:
     media_unit_ms = None
     if media_ops and BENCH_DOCS:
         # per-DOC unit cost (output rows include text spans, so the
-        # per-row number would understate the media engines' share)
+        # per-row number would understate the media engines' share);
+        # SUM across every MediaExtract-containing operator in case a
+        # Ray version change splits the fused stage
         media_unit_ms = round(
-            1e3 * media_ops[0].get("cpu_total_s", 0.0) / BENCH_DOCS, 3)
+            1e3 * sum(op.get("cpu_total_s", 0.0)
+                      for op in media_ops) / BENCH_DOCS, 3)
     result = {
         "metric": "flagship_extract_sec",
         "value": round(flagship_sec, 3),
@@ -207,6 +226,7 @@ def run_bench() -> dict:
         "stage_wall_total_s": round(sum(
             v.get("wall_total_s", 0.0) for v in stage_stats.values()), 2),
         "media_cpu_ms_per_doc": media_unit_ms,
+        "corpus_derive_sec": corpus_derive_sec,
     }
     ray.shutdown()
     return result
@@ -479,7 +499,7 @@ def run_checkpointed_bench() -> dict:
                          media_concurrency=max(2, num_cpus - 2))
     result = {"metric": "checkpointed_flagship_sec", "unit": "sec",
               "docs": docs, "shards": shards, "num_cpus": num_cpus}
-    for g in (1, 4):
+    for g in (1, 4, "auto"):
         out_dir = f"/dev/shm/wlor_ckpt_out_g{g}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
@@ -491,6 +511,9 @@ def run_checkpointed_bench() -> dict:
             "executions": res["executed"],
             "rows": res["metrics"]["rows"],
         }
+        if g == "auto":
+            result["group_auto"]["auto_group_size"] = \
+                res.get("auto_group_size", 1)
         shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()
     return result

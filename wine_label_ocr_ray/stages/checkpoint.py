@@ -31,6 +31,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import json
+import math
 import os
 import shutil
 from dataclasses import asdict
@@ -226,10 +227,24 @@ def _execute_partition(corpus_dir: str, out_dir: str,
     return metrics
 
 
+# Fixed cost of ONE checkpointed pipeline execution (actor-pool ramp,
+# sort barrier, write finalize) — measured scale-independent at 8.8 s
+# on the bench host (BASELINE.md round 4); override with
+# WLOR_CKPT_FIXED_S when the deployment differs.
+def _fixed_cost_s() -> float:
+    return float(os.environ.get("WLOR_CKPT_FIXED_S", 8.8))
+
+
+# commit-granularity ceiling for auto-grouping: a crash re-executes at
+# most one group, so never let amortization make groups unboundedly
+# wide even when shards are tiny
+AUTO_GROUP_MAX = 64
+
+
 def run_checkpointed(corpus_dir: str, out_dir: str,
                      cfg: Optional[PipelineConfig] = None, *,
                      fail_after: Optional[int] = None,
-                     group_size: int = 1) -> Dict:
+                     group_size=1) -> Dict:
     """Run the flagship pipeline partition-by-partition with atomic
     commits; skips partitions already committed with matching lineage.
     ``fail_after=k`` injects a crash after k commits (for resume
@@ -237,13 +252,24 @@ def run_checkpointed(corpus_dir: str, out_dir: str,
     execution/commit (amortizes fixed ramp; a crash re-executes at
     most one k-shard group).
 
+    ``group_size="auto"`` (VERDICT r4 item 6) sizes the groups from
+    measurement instead of a guess: the first uncommitted shard runs
+    alone and is timed; its compute time (elapsed minus the known
+    ~8.8 s fixed cost) predicts per-shard cost, and the remaining
+    shards are grouped so the fixed cost is <10 percent of a group's
+    predicted compute (capped at ``AUTO_GROUP_MAX`` — commit
+    granularity still bounds crash re-execution). Output rows are
+    byte-identical to any other grouping (tests/test_resume.py).
+
     Returns {"partitions": committed units, "executed": n,
-             "skipped": n, "metrics": aggregated}.
+             "skipped": n, "metrics": aggregated,
+             "auto_group_size": g (auto mode only)}.
     """
     from .. import synth  # noqa: F401  (corpus format docs)
 
     cfg = cfg or PipelineConfig()
-    group_size = max(1, group_size)
+    auto = group_size == "auto"
+    group_size = 1 if auto else max(1, int(group_size))
     shards = discover_partitions(corpus_dir)
     os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
     # clear stale in-flight temp dirs from a previous crashed run
@@ -301,6 +327,30 @@ def run_checkpointed(corpus_dir: str, out_dir: str,
             except OSError:
                 pass
 
+    summary_extra: Dict = {}
+    if auto and todo:
+        # calibration execution: first shard alone, timed
+        import time as _time
+        t0 = _time.monotonic()
+        metrics = _execute_partition(corpus_dir, out_dir, todo[:1], cfg,
+                                     _lineage(todo[:1], cfg))
+        elapsed = _time.monotonic() - t0
+        executed += 1
+        units += 1
+        for k in totals:
+            totals[k] += metrics[k]
+        todo = todo[1:]
+        fixed = _fixed_cost_s()
+        per_shard = max(elapsed - fixed, 0.05)
+        want = math.ceil(10 * fixed / per_shard)  # fixed <10% of group
+        group_size = max(1, min(AUTO_GROUP_MAX, want))
+        if todo:
+            group_size = min(group_size, len(todo))
+        summary_extra["auto_group_size"] = group_size
+        if fail_after is not None and executed >= fail_after:
+            raise RuntimeError(
+                f"injected failure after {executed} partitions")
+
     for i in range(0, len(todo), group_size):
         group = todo[i:i + group_size]
         metrics = _execute_partition(corpus_dir, out_dir, group, cfg,
@@ -314,4 +364,4 @@ def run_checkpointed(corpus_dir: str, out_dir: str,
                 f"injected failure after {executed} partitions")
 
     return {"partitions": units, "executed": executed,
-            "skipped": skipped, "metrics": totals}
+            "skipped": skipped, "metrics": totals, **summary_extra}

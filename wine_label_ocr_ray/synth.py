@@ -234,28 +234,14 @@ def _write_shard(out_dir: str, seed: int, shard: int, lo: int, hi: int) -> int:
     return len(media)
 
 
-def derive_corpus_from_documents(documents_parquet: str, out_dir: str,
-                                 seed: int = 42) -> str:
-    """Build an interleaved corpus from a flat documents table (the
-    driver's ``documents.parquet``): each source row's text is split
-    into text spans and deterministic media spans are interleaved
-    (payloads synthesized per-doc from the seeded generator). Idempotent
-    per (source path, seed)."""
-    manifest_path = os.path.join(out_dir, "_corpus.json")
-    spec = {"source": documents_parquet, "seed": seed, "version": 3}
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            if json.load(f) == spec:
-                return out_dir
-    import shutil
-    shutil.rmtree(os.path.join(out_dir, "documents"), ignore_errors=True)
-    shutil.rmtree(os.path.join(out_dir, "media"), ignore_errors=True)
-    os.makedirs(os.path.join(out_dir, "documents"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "media"), exist_ok=True)
-    src = pq.read_table(documents_parquet, columns=["doc_id", "text"])
+def _derive_rows(seed: int, start: int, src_ids, texts):
+    """Synthesize interleaved docs + media payloads for source rows
+    [start, start+len(src_ids)). Pure in (seed, global row index) —
+    the parallel fan-out below concatenates ranges in order, so output
+    is byte-identical to a single serial pass."""
     docs, media = [], []
-    for i, (src_id, text) in enumerate(zip(src.column("doc_id").to_pylist(),
-                                           src.column("text").to_pylist())):
+    for off, (src_id, text) in enumerate(zip(src_ids, texts)):
+        i = start + off
         rng = _doc_rng(seed, i)
         doc_id = f"doc-{int(src_id):08d}"
         maker = MAKERS[rng.randint(0, len(MAKERS))]
@@ -282,6 +268,50 @@ def derive_corpus_from_documents(documents_parquet: str, out_dir: str,
                 spans.append({"kind": "media", "text": "",
                               "media_ref": ref, "offset": offset})
         docs.append({"doc_id": doc_id, "spans": spans})
+    return docs, media
+
+
+def derive_corpus_from_documents(documents_parquet: str, out_dir: str,
+                                 seed: int = 42) -> str:
+    """Build an interleaved corpus from a flat documents table (the
+    driver's ``documents.parquet``): each source row's text is split
+    into text spans and deterministic media spans are interleaved
+    (payloads synthesized per-doc from the seeded generator). Idempotent
+    per (source path, seed)."""
+    manifest_path = os.path.join(out_dir, "_corpus.json")
+    spec = {"source": documents_parquet, "seed": seed, "version": 3}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            if json.load(f) == spec:
+                return out_dir
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, "documents"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "media"), ignore_errors=True)
+    os.makedirs(os.path.join(out_dir, "documents"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "media"), exist_ok=True)
+    src = pq.read_table(documents_parquet, columns=["doc_id", "text"])
+    n = src.num_rows
+    src_ids = src.column("doc_id").to_pylist()
+    texts = src.column("text").to_pylist()
+    # the per-doc synthesis is embarrassingly parallel over row ranges
+    # (the RNG is keyed on (seed, global row index)); fan it out as Ray
+    # tasks instead of a driver-side O(n) loop (VERDICT r4 item 8) —
+    # byte-identical to the serial form because ranges are concatenated
+    # in order and refs/doc order never depended on execution order
+    import ray
+    chunk = 4000
+    if ray.is_initialized() and n > chunk:
+        from ._rayprep import ensure_serializable
+        ensure_serializable()  # _derive_rows must ship by value
+        fn = ray.remote(_derive_rows)
+        parts = ray.get([
+            fn.remote(seed, lo, src_ids[lo:lo + chunk],
+                      texts[lo:lo + chunk])
+            for lo in range(0, n, chunk)])
+    else:
+        parts = [_derive_rows(seed, 0, src_ids, texts)]
+    docs = [d for p in parts for d in p[0]]
+    media = [m for p in parts for m in p[1]]
     media.sort(key=lambda r: r[0])
     pq.write_table(pa.Table.from_pylist(docs, schema=DOC_SCHEMA),
                    os.path.join(out_dir, "documents", "part-0000.parquet"))
