@@ -282,7 +282,21 @@ def run_scaling() -> dict:
                    # default would run two more 20k canaries inside
                    # every leg AND break the legs' time-adjacency
                    WLOR_BENCH_CANARY="0")
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        if os.environ.get("WLOR_SCALING_PIN") == "1":
+            # contention IMMUNIZATION (r4 verdict #1): pin each leg to
+            # a fixed stride-sampled core set (lo -> every 4th core,
+            # hi -> all). An UNPINNED lo leg floats onto the quietest
+            # cores and looks too good, deflating measured efficiency;
+            # pinning makes both legs sample the co-tenant load at the
+            # same per-core average, so the RATIO (the criterion)
+            # survives load the probe gate would reject. Children
+            # (Ray workers) inherit the affinity mask.
+            total = 32
+            stride = max(1, total // ncpu)
+            cores = ",".join(str(c) for c in range(0, total, stride)[:ncpu])
+            cmd = ["taskset", "-c", cores] + cmd
+        out = subprocess.run(cmd,
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -405,6 +419,7 @@ def run_scaling() -> dict:
         "bench_docs": bench_docs,
         "queries_lo": runs[lo][-1]["queries"],
         "queries_hi": runs[hi][-1]["queries"],
+        "pinned": os.environ.get("WLOR_SCALING_PIN") == "1",
     }
     _record_baseline(result)
     return result
@@ -447,7 +462,14 @@ def _record_baseline(result: dict) -> None:
                 f"requires min >= {result['probe_min_frac']} * {hi} "
                 f"= {result['probe_min_frac'] * hi:.1f}, excluding "
                 f"constant-load windows canaries are blind to.\n")
-    block = (f"### {lo}v{hi} @{result['bench_docs']} run (appended by bench.py --scaling)\n\n"
+    pin_note = ""
+    if result.get("pinned"):
+        pin_note = (" — CPU-PINNED legs (taskset stride cores: the "
+                    "contention-immunized mode; both legs sample the "
+                    "co-tenant load at the same per-core average, so "
+                    "the ratio is valid even when the probe gate "
+                    "would flag the window)")
+    block = (f"### {lo}v{hi} @{result['bench_docs']} run (appended by bench.py --scaling){pin_note}\n\n"
              f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} valid of {result['attempts']} interleaved trials) |\n"
              f"|---|---|---|---|\n"
              f"| N | num_cpus={lo} | {result['docs_per_sec_lo']} | median {result['sec_lo']} over valid trials; all samples {result['sec_lo_samples']} |\n"
