@@ -35,7 +35,7 @@ from typing import Dict, List
 import pyarrow as pa
 
 from ..functions import text as T
-from ..schema import RECORD_SCHEMA
+from ..schema import BLOB_STRUCT, RECORD_SCHEMA
 from .bucketing import hash_mod
 from .media import raw_to_entries
 
@@ -63,8 +63,11 @@ def _merge_raw(raw_lists: List[List[Dict]]) -> Dict[str, List]:
     return merged
 
 
-def assemble_doc(rows: List[Dict]) -> Dict:
-    """rows = span rows of ONE document (any order) -> record dict."""
+def _doc_fields(rows: List[Dict]):
+    """Everything of the per-doc merge EXCEPT the blob pick: returns
+    (record dict without 'blob', media rows in offset order). Shared by
+    the row-dict path (``assemble_doc``) and the Arrow-native bucket
+    path (``assemble_bucket``) so the merge semantics live once."""
     rows = sorted(rows, key=lambda r: (r["offset"], r["kind"],
                                        r["media_ref"] or ""))
     spans_out = [{"kind": r["kind"], "text": r["span_text"] or "",
@@ -91,10 +94,6 @@ def assemble_doc(rows: List[Dict]) -> Dict:
     vintage_int = T.to_int_year(vintage_str)
 
     barcode = next((r["barcode"] for r in media_rows if r["barcode"]), None)
-    # no-media docs get the sentinel empty blob rather than a null
-    # struct: parquet cannot write null structs with list children
-    blob = next((r["blob"] for r in media_rows if r["blob"] is not None),
-                None) or EMPTY_BLOB
 
     confs = [c for arr in merged_raw.values() if isinstance(arr, list)
              for (_t, c) in arr]
@@ -111,9 +110,19 @@ def assemble_doc(rows: List[Dict]) -> Dict:
         "key": key,
         "record_id": T.hash_id(maker_norm, vintage_str),
         "valid": not (key == "|" or (not maker_norm and not vintage_str)),
-        "blob": blob,
         "raw": raw_to_entries(merged_raw),
-    }
+    }, media_rows
+
+
+def assemble_doc(rows: List[Dict]) -> Dict:
+    """rows = span rows of ONE document (any order) -> record dict.
+    Row-dict form (rows carry materialized 'blob' dicts)."""
+    rec, media_rows = _doc_fields(rows)
+    # no-media docs get the sentinel empty blob rather than a null
+    # struct: parquet cannot write null structs with list children
+    rec["blob"] = next((r["blob"] for r in media_rows
+                        if r.get("blob") is not None), None) or EMPTY_BLOB
+    return rec
 
 
 def assemble_group(group: pa.Table) -> pa.Table:
@@ -130,19 +139,56 @@ def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
         "bucket", hash_mod(batch.column("doc_id"), num_buckets))
 
 
+# RECORD_SCHEMA minus the blob column: assemble_bucket builds records
+# without blobs, then splices the blob COLUMN in as Arrow (below)
+_SCHEMA_NO_BLOB = pa.schema([f for f in RECORD_SCHEMA
+                             if f.name != "blob"])
+
+
 def assemble_bucket(group: pa.Table) -> pa.Table:
     """``groupby("bucket").map_groups`` callable: assembles EVERY doc
     in the bucket in one call (one to_pylist + one from_pylist instead
     of per-doc table slicing — amortizes the per-group overhead ~300x).
 
+    The blob column never touches Python: ``to_pylist`` of a
+    list<struct> blob (up to ~130 x 10-field dicts PER ROW) costs ~3x
+    the whole assembly (measured, /tmp/assemble_micro A/B r4-vs-r5),
+    and each doc keeps only its FIRST media blob anyway — so rows are
+    materialized without it, the per-doc pick is just a row index
+    against an Arrow validity bitmap, and the output blob column is
+    one zero-copy ``pc.take`` (no-media docs point at an appended
+    EMPTY_BLOB sentinel: parquet cannot write null structs with list
+    children).
+
     Scale note: bucket count must grow with data so one bucket's span
     rows fit a worker's heap (PipelineConfig.assembly_num_partitions;
     rows are small feature structs, so ~1e6 docs/bucket is fine).
     """
-    rows = group.to_pylist()
+    import pyarrow.compute as pc
+
+    blob_col = group.column("blob")
+    if isinstance(blob_col, pa.ChunkedArray):
+        blob_col = blob_col.combine_chunks()
+    blob_ok = blob_col.is_valid().to_numpy(zero_copy_only=False)
+    rows = group.drop_columns(["blob"]).to_pylist()
+    for pos, r in enumerate(rows):
+        r["_pos"] = pos
     by_doc: dict = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    return pa.Table.from_pylist(
-        [assemble_doc(doc_rows) for doc_rows in by_doc.values()],
-        schema=RECORD_SCHEMA)
+
+    records, blob_idx = [], []
+    empty_pos = len(blob_col)  # appended sentinel below
+    for doc_rows in by_doc.values():
+        rec, media_rows = _doc_fields(doc_rows)
+        pos = next((r["_pos"] for r in media_rows if blob_ok[r["_pos"]]),
+                   empty_pos)
+        blob_idx.append(pos)
+        records.append(rec)
+
+    out = pa.Table.from_pylist(records, schema=_SCHEMA_NO_BLOB)
+    blobs = pa.concat_arrays(
+        [blob_col, pa.array([EMPTY_BLOB], type=BLOB_STRUCT)])
+    out = out.append_column("blob", pc.take(blobs, pa.array(blob_idx,
+                                                            pa.int64())))
+    return out.select(RECORD_SCHEMA.names)
