@@ -116,16 +116,20 @@ def run_bench() -> dict:
     # measured: the sf-dir corpus DERIVATION (the fan-out that fronts
     # flagship_extract in the driver's correctness runs) — fresh every
     # bench so the recorded number tracks the Ray-parallel deriver
-    # (VERDICT r4 item 8), not a cache hit
-    import shutil as _sh
-    from wine_label_ocr_ray.synth import derive_corpus_from_documents
-    _derive_dir = "/tmp/wlor_bench_derive"
-    _sh.rmtree(_derive_dir, ignore_errors=True)
-    _t0 = time.time()
-    derive_corpus_from_documents(
-        os.path.join(sf_dir, "documents.parquet"), _derive_dir, seed=42)
-    corpus_derive_sec = round(time.time() - _t0, 3)
-    _sh.rmtree(_derive_dir, ignore_errors=True)
+    # (VERDICT r4 item 8), not a cache hit. Skipped alongside queries:
+    # scaling legs and canaries (WLOR_BENCH_QUERIES=skip) must stay
+    # time-adjacent with nothing but the flagship in them.
+    corpus_derive_sec = None
+    if os.environ.get("WLOR_BENCH_QUERIES") != "skip":
+        import shutil as _sh
+        from wine_label_ocr_ray.synth import derive_corpus_from_documents
+        _derive_dir = "/tmp/wlor_bench_derive"
+        _sh.rmtree(_derive_dir, ignore_errors=True)
+        _t0 = time.time()
+        derive_corpus_from_documents(
+            os.path.join(sf_dir, "documents.parquet"), _derive_dir, seed=42)
+        corpus_derive_sec = round(time.time() - _t0, 3)
+        _sh.rmtree(_derive_dir, ignore_errors=True)
 
     # Plain bench: max-throughput pool (num_cpus-2). Scaling sets
     # WLOR_POOL_FRACTION=0.75 so BOTH levels get the SAME pool
@@ -292,7 +296,7 @@ def run_scaling() -> dict:
             # same per-core average, so the RATIO (the criterion)
             # survives load the probe gate would reject. Children
             # (Ray workers) inherit the affinity mask.
-            total = 32
+            total = os.cpu_count() or 32
             stride = max(1, total // ncpu)
             cores = ",".join(str(c) for c in range(0, total, stride)[:ncpu])
             cmd = ["taskset", "-c", cores] + cmd

@@ -257,3 +257,26 @@ def test_auto_group_size_output_identical_to_per_shard(ray_session, corpus,
     # resume of the auto run skips everything (lineage intact)
     again = run_checkpointed(corpus, auto_dir, group_size="auto")
     assert again["executed"] == 0 and again["skipped"] == 2
+
+
+def test_pre_schema_manifest_rejected():
+    """A manifest from before schema tracking (no 'schema' key) can no
+    longer match: the record schema has changed since that era (typed
+    raw/blob), so those partitions must re-execute, not mix."""
+    import os
+    import tempfile
+
+    from wine_label_ocr_ray.config import PipelineConfig
+    from wine_label_ocr_ray.stages.checkpoint import (_lineage,
+                                                      _lineage_matches)
+    cfg = PipelineConfig()
+    with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as f:
+        f.write(b"x" * 10)
+        path = f.name
+    try:
+        lin = _lineage([path], cfg)
+        assert _lineage_matches([path], cfg, lin)
+        legacy = {k: v for k, v in lin.items() if k != "schema"}
+        assert not _lineage_matches([path], cfg, legacy)
+    finally:
+        os.unlink(path)

@@ -71,7 +71,8 @@ def build_extract_pipeline(corpus_dir: str,
         spans = spans.map_batches(
             DebugImageSink,
             fn_constructor_kwargs=dict(media_path=media_path,
-                                       out_dir=cfg.debug_out),
+                                       out_dir=cfg.debug_out,
+                                       min_blob_area=cfg.min_blob_area),
             batch_format="pyarrow", concurrency=1)
     # Reassembly shuffle: bucket by doc-id hash (a separate TASK-pool
     # op, NOT fused into the media actors — measured: fusing it

@@ -126,10 +126,11 @@ def _lineage_matches(files: List[str], cfg: PipelineConfig,
             return False
         expect = _lineage(files, cfg)
         expect["config_hash"] = prior_hash  # either accepted form
-        if "schema" not in prior_lineage:
-            # manifests from before schema tracking: their era's record
-            # schema is the current one by construction — accept
-            expect.pop("schema")
+        # manifests from before schema tracking can NOT be accepted:
+        # the record schema has changed since that era (typed raw/blob
+        # columns), so mixing those partitions with fresh ones is the
+        # exact phantom-null failure the fingerprint exists to prevent
+        # — absence of the key is a mismatch, re-execute
         return prior_lineage == expect
     except (FileNotFoundError, OSError, TypeError, KeyError, ValueError):
         return False

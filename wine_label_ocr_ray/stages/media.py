@@ -20,7 +20,6 @@ the engine's ``ocr_full`` view) when YOLO found no vintage box.
 
 from __future__ import annotations
 
-import json
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -60,9 +60,10 @@ def _pixels(decoded: Dict) -> np.ndarray:
 def _to_gray(img: np.ndarray) -> np.ndarray:
     if img.ndim == 2:
         return img
-    # BGR -> luma, the cv2.cvtColor(BGR2GRAY) weights
-    return (img[..., 2] * 0.299 + img[..., 1] * 0.587
-            + img[..., 0] * 0.114).astype(np.uint8)
+    # BGR -> luma, the cv2.cvtColor(BGR2GRAY) weights (rounded like
+    # cv2's fixed-point conversion, not truncated)
+    return np.round(img[..., 2] * 0.299 + img[..., 1] * 0.587
+                    + img[..., 0] * 0.114).astype(np.uint8)
 
 
 class UltralyticsDetect(DetectEngine):
