@@ -39,6 +39,12 @@ def build_extract_pipeline(corpus_dir: str,
         total_cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         concurrency = max(2, int(total_cpus * 0.5 / cfg.media_num_cpus))
+        # never let the actor pool reserve EVERY cluster CPU: the
+        # upstream ReadParquet task needs one free slot or the stream
+        # deadlocks (observed at a 2-cpu session: 2 pinned actors +
+        # 1 unschedulable read task = zero progress forever)
+        concurrency = max(1, min(
+            concurrency, int((total_cpus - 1) / cfg.media_num_cpus)))
 
     if doc_files is not None:
         import ray.data as rd

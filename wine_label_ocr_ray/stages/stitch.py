@@ -119,4 +119,7 @@ def build_stitch_pipeline(corpus_dir: str,
         StitchPairs,
         fn_constructor_kwargs=dict(media_path=media_path),
         batch_format="pyarrow", batch_size=256,
-        concurrency=max(2, total_cpus // 2))
+        # cap below the cluster width so the upstream read/shuffle
+        # tasks keep a schedulable CPU (2-cpu-session deadlock guard)
+        concurrency=max(1, min(max(2, total_cpus // 2),
+                               total_cpus - 1)))
