@@ -72,3 +72,17 @@ def test_extraction_hit_rates(pipeline_records):
     assert makers > 80
     assert barcodes > 10
     assert invalid > 0
+
+
+def test_autosize_pool_never_reserves_whole_cluster():
+    """Regression: a pool holding every cluster CPU starves the
+    upstream read task and deadlocks the stream (seen at 2 cpus)."""
+    from wine_label_ocr_ray.pipelines.extract import autosize_pool
+    for total in range(2, 65):
+        size = autosize_pool(total)
+        assert 1 <= size <= total - 1, (total, size)
+    assert autosize_pool(2) == 1      # the observed deadlock shape
+    assert autosize_pool(4) == 2      # unchanged from the old rule
+    assert autosize_pool(32) == 16    # unchanged at full width
+    # fractional actors: 0.5-cpu actors on 2 cpus leave a read slot
+    assert autosize_pool(2, 0.5) == 2

@@ -21,6 +21,15 @@ from ..stages.reassemble import add_bucket, assemble_bucket
 from ..stages.spans import explode_spans, extract_text_spans
 
 
+def autosize_pool(total_cpus: int, num_cpus_per_actor: float = 1.0) -> int:
+    """Actor-pool size for the media stage: half the cluster, but never
+    the WHOLE cluster — the upstream ReadParquet task needs one free CPU
+    slot or the stream deadlocks (observed at a 2-cpu session: 2 pinned
+    actors + 1 unschedulable read task = zero progress forever)."""
+    size = max(2, int(total_cpus * 0.5 / num_cpus_per_actor))
+    return max(1, min(size, int((total_cpus - 1) / num_cpus_per_actor)))
+
+
 def build_extract_pipeline(corpus_dir: str,
                            cfg: Optional[PipelineConfig] = None,
                            doc_files: Optional[list] = None
@@ -38,13 +47,7 @@ def build_extract_pipeline(corpus_dir: str,
         import ray
         total_cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
-        concurrency = max(2, int(total_cpus * 0.5 / cfg.media_num_cpus))
-        # never let the actor pool reserve EVERY cluster CPU: the
-        # upstream ReadParquet task needs one free slot or the stream
-        # deadlocks (observed at a 2-cpu session: 2 pinned actors +
-        # 1 unschedulable read task = zero progress forever)
-        concurrency = max(1, min(
-            concurrency, int((total_cpus - 1) / cfg.media_num_cpus)))
+        concurrency = autosize_pool(total_cpus, cfg.media_num_cpus)
 
     if doc_files is not None:
         import ray.data as rd
