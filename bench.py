@@ -386,6 +386,11 @@ def run_scaling() -> dict:
             waited = False
             while p < probe_frac * hi and time.time() < wait_deadline:
                 waited = True
+                print(f"[wait-probe] attempt {attempt}: {p} < "
+                      f"{probe_frac * hi:.1f} effective cores; polling "
+                      f"again in {wait_poll:.0f}s "
+                      f"({wait_deadline - time.time():.0f}s budget left)",
+                      file=sys.stderr, flush=True)
                 time.sleep(min(wait_poll,
                                max(1.0, wait_deadline - time.time())))
                 p = quick_probe(hi)
