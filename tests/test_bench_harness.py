@@ -37,9 +37,12 @@ def test_scaling_gate_brackets_and_appends(bench, tmp_path, monkeypatch):
     # pre) attempt 2 — load present at that boundary taints both.
     canary_seq = iter([12.0, 12.1, 30.0, 12.4, 12.5])
     monkeypatch.setattr(bench, "run_canary", lambda: next(canary_seq))
-    # neutral effective-core probes: this test exercises the CANARY
+    # neutral capacity probes: this test exercises the CANARY
     # leg of the gate (the probe leg has its own test below)
-    monkeypatch.setattr(bench, "quick_probe", lambda procs: float(procs))
+    monkeypatch.setattr(bench, "capacity_probe",
+                        lambda procs: {"delivered_cores": float(procs),
+                                       "throughput_cores": float(procs),
+                                       "steal_cores": 0.0})
 
     legs = iter([400.0, 125.0,    # attempt 0: eff 0.8   (valid)
                  400.0, 390.0,    # attempt 1: poisoned  (post 30)
@@ -116,15 +119,26 @@ def test_scaling_probe_gate_excludes_constant_load(bench, tmp_path,
     """The canary-blind spot (BASELINE.md Run C/D): CONSTANT co-tenant
     load slows canaries and legs proportionally, so the canary gate
     passes while the machine delivers far fewer cores. The leg-adjacent
-    effective-core probe must catch it: a trial whose worst probe is
-    below 0.85 * hi cores is invalid even with quiet canaries."""
+    DELIVERED-core probe must catch it: a trial whose worst probe is
+    below 0.85 * hi delivered cores is invalid even with quiet
+    canaries. (Delivered = scheduled cpu-sec/wall-sec — immune to the
+    all-core DVFS curve that made the old throughput probe read ~16-22
+    on a provably idle 32-core host and the gate unpassable.)"""
     canary_seq = iter([12.0, 12.1, 12.2])
     monkeypatch.setattr(bench, "run_canary", lambda: next(canary_seq))
     # attempt 0: probes (32, 18, 31) -> min 18 < 27.2 -> INVALID
     # attempt 1: probes (31, 30, 32) -> valid        (pre = prior post)
     probe_seq = iter([32.0, 18.0, 31.0, 30.0, 32.0])
-    monkeypatch.setattr(bench, "quick_probe",
-                        lambda procs: next(probe_seq))
+
+    def _cap(procs):
+        d = next(probe_seq)
+        # throughput deliberately BELOW the gate threshold on the valid
+        # window (the idle-host DVFS signature): the gate must ignore it
+        return {"delivered_cores": d,
+                "throughput_cores": round(d * 0.7, 1),
+                "steal_cores": 0.0}
+
+    monkeypatch.setattr(bench, "capacity_probe", _cap)
     legs = iter([400.0, 250.0,     # attempt 0: constant-load window
                  400.0, 125.0])    # attempt 1: quiet -> eff 0.8
     monkeypatch.setattr(bench.subprocess, "run",
@@ -135,12 +149,70 @@ def test_scaling_probe_gate_excludes_constant_load(bench, tmp_path,
     monkeypatch.setenv("WLOR_SCALING_HI", "32")
     result = bench.run_scaling()
     assert result["valid_trials"] == [1]
-    assert result["probe_samples"] == [(32.0, 18.0, 31.0),
-                                       (31.0, 30.0, 32.0)]
+    assert [tuple(d["delivered_cores"] for d in trio)
+            for trio in result["probe_samples"]] == [
+                (32.0, 18.0, 31.0), (31.0, 30.0, 32.0)]
     assert result["value"] == pytest.approx(0.8, abs=0.001)
     bench._record_baseline(result)
     text = (tmp_path / "BASELINE.md").read_text()
-    assert "effective-core probes" in text
+    assert "capacity probes" in text and "DELIVERED" in text
+
+
+def test_scaling_equalize_pins_lo_and_spins_rest(bench, tmp_path,
+                                                 monkeypatch):
+    """WLOR_SCALING_EQUALIZE=1: the lo leg is taskset-pinned to cores
+    [0..lo) with one ALU spinner per remaining core (so both legs run
+    at the chip's all-core clock — the single-host emulation of the
+    cluster criterion); the hi (full-width) leg is neither pinned nor
+    spun; every spinner is killed after the leg."""
+    monkeypatch.setattr(bench, "run_canary", lambda: 12.0)
+    monkeypatch.setattr(bench, "capacity_probe",
+                        lambda procs: {"delivered_cores": float(procs),
+                                       "throughput_cores": float(procs),
+                                       "steal_cores": 0.0})
+    monkeypatch.setattr(bench.os, "cpu_count", lambda: 32)
+
+    spawned = []
+
+    class _FakeSpin:
+        def __init__(self, cmd, **kw):
+            self.cmd = cmd
+            self.killed = False
+            spawned.append(self)
+
+        def kill(self):
+            self.killed = True
+
+        def wait(self):
+            assert self.killed
+
+    run_cmds = []
+    legs = iter([400.0, 125.0])
+
+    def fake_run(cmd, **kw):
+        run_cmds.append(cmd)
+        return _FakeProc(next(legs))
+
+    monkeypatch.setattr(bench.subprocess, "Popen", _FakeSpin)
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setenv("WLOR_SCALING_EQUALIZE", "1")
+    monkeypatch.setenv("WLOR_SCALING_TRIALS", "1")
+    monkeypatch.setenv("WLOR_SCALING_MAX_ATTEMPTS", "1")
+    monkeypatch.setenv("WLOR_SCALING_LO", "8")
+    monkeypatch.setenv("WLOR_SCALING_HI", "32")
+    result = bench.run_scaling()
+    # lo leg pinned to cores 0-7
+    assert run_cmds[0][:3] == ["taskset", "-c",
+                               ",".join(str(c) for c in range(8))]
+    # hi leg at full width: bare python, no taskset
+    assert run_cmds[1][0] == bench.sys.executable
+    # 24 spinners, one per non-leg core, all killed
+    assert len(spawned) == 24
+    assert {s.cmd[2] for s in spawned} == {str(c) for c in range(8, 32)}
+    assert all(s.killed for s in spawned)
+    assert result["equalized"] is True
+    bench._record_baseline(result)
+    assert "FREQUENCY-EQUALIZED" in (tmp_path / "BASELINE.md").read_text()
 
 
 def test_scaling_all_trials_invalid_flagged(bench, tmp_path,
@@ -150,7 +222,10 @@ def test_scaling_all_trials_invalid_flagged(bench, tmp_path,
     says so instead of printing a false VALID-set note."""
     canary_seq = iter([12.0, 40.0, 41.0])
     monkeypatch.setattr(bench, "run_canary", lambda: next(canary_seq))
-    monkeypatch.setattr(bench, "quick_probe", lambda procs: float(procs))
+    monkeypatch.setattr(bench, "capacity_probe",
+                        lambda procs: {"delivered_cores": float(procs),
+                                       "throughput_cores": float(procs),
+                                       "steal_cores": 0.0})
     legs = iter([400.0, 200.0, 420.0, 210.0])
     monkeypatch.setattr(bench.subprocess, "run",
                         lambda cmd, **kw: _FakeProc(next(legs)))
