@@ -267,15 +267,15 @@ def run_scaling() -> dict:
     drifting machine state hits both equally, and the reported
     efficiency is computed from the per-level MEDIANS; all samples are
     recorded in BASELINE.md."""
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, docs: str = None) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    # steady-state corpus: 2x the flagship bench size so
                    # scale-independent session overhead (~10-14 s:
                    # actor ramp, sort barrier, write finalize) doesn't
                    # dominate the 32-cpu leg — the criterion measures
                    # THROUGHPUT scaling, not session startup
-                   WLOR_BENCH_DOCS=os.environ.get("WLOR_SCALING_DOCS",
-                                                  "300000"),
+                   WLOR_BENCH_DOCS=docs or os.environ.get(
+                       "WLOR_SCALING_DOCS", "300000"),
                    # one timed run per invocation; robustness comes
                    # from the interleaved-trial medians. Query timings
                    # are benched separately (plain bench.py) — skipping
@@ -414,6 +414,21 @@ def run_scaling() -> dict:
                          for d in probes[i] if d) >= probe_frac * hi]
         return ok
 
+    # Discarded warmup pair (WLOR_SCALING_WARMUP=<docs>, default 0 =
+    # off): one small run at each width before trial 0, timed by
+    # nobody. The first equalized 8v32 run showed the criterion's
+    # remaining variance lives in COLD-START asymmetry, not the hosts:
+    # its first hi leg paid the page-cache/actor-image warmup
+    # (79.8 s) that later hi legs did not (57.1 s), dragging one
+    # trial's efficiency to 0.614 while the warm trial read 0.976.
+    # A cluster-criterion throughput measurement is steady-state by
+    # definition; warming both widths once keeps every TIMED leg
+    # steady-state without touching the gate.
+    warmup_docs = int(os.environ.get("WLOR_SCALING_WARMUP", "0"))
+    if warmup_docs > 0:
+        for w in (lo, hi):
+            run(w, docs=str(warmup_docs))
+
     runs = {lo: [], hi: []}
     canaries = []
     probes = []
@@ -518,6 +533,7 @@ def run_scaling() -> dict:
         "queries_hi": runs[hi][-1]["queries"],
         "pinned": os.environ.get("WLOR_SCALING_PIN") == "1",
         "equalized": os.environ.get("WLOR_SCALING_EQUALIZE") == "1",
+        "warmup_docs": warmup_docs,
         "wait_probe_sec": wait_budget,
         "windows_waited": windows_waited,
     }
@@ -580,6 +596,10 @@ def _record_baseline(result: dict) -> None:
                     "faithful single-host emulation of the N-node vs "
                     "4N-node cluster criterion, where every node is "
                     "fully loaded in both legs)")
+    if result.get("warmup_docs"):
+        pin_note += (f" — steady-state: one discarded "
+                     f"{result['warmup_docs']}-doc warmup leg per "
+                     f"width before trial 0")
     block = (f"### {lo}v{hi} @{result['bench_docs']} run (appended by bench.py --scaling){pin_note}\n\n"
              f"| run | config | docs/sec (median) | seconds ({result['bench_docs']} docs, {result['trials']} valid of {result['attempts']} interleaved trials) |\n"
              f"|---|---|---|---|\n"

@@ -215,6 +215,42 @@ def test_scaling_equalize_pins_lo_and_spins_rest(bench, tmp_path,
     assert "FREQUENCY-EQUALIZED" in (tmp_path / "BASELINE.md").read_text()
 
 
+def test_scaling_warmup_legs_discarded(bench, tmp_path, monkeypatch):
+    """WLOR_SCALING_WARMUP=<docs>: one discarded leg per width runs
+    BEFORE trial 0 (steady-state criterion — the first equalized 8v32
+    showed the hi leg's cold-start costs 0.976 -> 0.614 of one trial's
+    efficiency); warmup legs carry the warmup doc count, are absent
+    from the samples, and the recorder labels the run."""
+    monkeypatch.setattr(bench, "run_canary", lambda: 12.0)
+    monkeypatch.setattr(bench, "capacity_probe",
+                        lambda procs: {"delivered_cores": float(procs),
+                                       "throughput_cores": float(procs),
+                                       "steal_cores": 0.0})
+    calls = []
+    legs = iter([5.0, 2.0,       # warmup pair (discarded)
+                 400.0, 125.0])  # trial 0: eff 0.8
+
+    def fake_run(cmd, env=None, **kw):
+        calls.append(env["WLOR_BENCH_DOCS"])
+        return _FakeProc(next(legs))
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setenv("WLOR_SCALING_WARMUP", "50000")
+    monkeypatch.setenv("WLOR_SCALING_TRIALS", "1")
+    monkeypatch.setenv("WLOR_SCALING_MAX_ATTEMPTS", "1")
+    monkeypatch.setenv("WLOR_SCALING_LO", "8")
+    monkeypatch.setenv("WLOR_SCALING_HI", "32")
+    result = bench.run_scaling()
+    assert calls == ["50000", "50000", "300000", "300000"]
+    assert result["sec_lo_samples"] == [400.0]
+    assert result["sec_hi_samples"] == [125.0]
+    assert result["value"] == pytest.approx(0.8, abs=0.001)
+    assert result["warmup_docs"] == 50000
+    bench._record_baseline(result)
+    assert ("discarded 50000-doc warmup leg"
+            in (tmp_path / "BASELINE.md").read_text())
+
+
 def test_scaling_all_trials_invalid_flagged(bench, tmp_path,
                                             monkeypatch):
     """If every attempt fails the canary gate, the harness falls back
