@@ -200,6 +200,12 @@ def run_bench() -> dict:
         import ray.data as rd
         rd.range(num_cpus * 4, override_num_blocks=num_cpus) \
             .map_batches(lambda b: b).materialize()
+        # ... and the hash-shuffle aggregator path (Dataset.join spawns
+        # a separate actor class the task-pool warmup doesn't touch;
+        # measured ~1-2 s of first-join ramp otherwise billed to q3)
+        rd.range(64, override_num_blocks=2) \
+            .join(rd.range(64, override_num_blocks=2), join_type="inner",
+                  num_partitions=16, on=("id",)).materialize()
         for name in BENCH_QUERIES:
             t0 = time.time()
             out = QUERIES[name](sf_dir)
