@@ -144,7 +144,19 @@ def run_bench() -> dict:
         else max(2, num_cpus - 2)
     # leave one CPU for the read stage: a pool holding every CPU
     # deadlocks the stream (read task unschedulable behind the actors)
-    pool = max(1, min(pool, num_cpus - 1))
+    if num_cpus < 2:
+        raise SystemExit("bench needs num_cpus >= 2 (a pool plus a "
+                         "schedulable read slot)")
+    capped = min(pool, num_cpus - 1)
+    if frac and capped != pool:
+        # the equal-pool-fraction invariant between scaling legs only
+        # breaks at widths <= 3; say so rather than silently record a
+        # skewed ratio (the JSON also carries media_pool per leg)
+        print(f"[bench] WARNING: pool fraction {frac} at num_cpus="
+              f"{num_cpus} capped from {pool} to {capped} actors — "
+              f"the scaling legs' pool fractions diverge at this width",
+              file=sys.stderr, flush=True)
+    pool = capped
     cfg = PipelineConfig(override_num_blocks=max(16, 4 * num_cpus),
                          media_concurrency=pool)
 
@@ -242,6 +254,7 @@ def run_bench() -> dict:
         "stage_wall_total_s": round(sum(
             v.get("wall_total_s", 0.0) for v in stage_stats.values()), 2),
         "media_cpu_ms_per_doc": media_unit_ms,
+        "media_pool": pool,
         "corpus_derive_sec": corpus_derive_sec,
     }
     ray.shutdown()
@@ -273,6 +286,16 @@ def run_scaling() -> dict:
     drifting machine state hits both equally, and the reported
     efficiency is computed from the per-level MEDIANS; all samples are
     recorded in BASELINE.md."""
+    if (os.environ.get("WLOR_SCALING_PIN") == "1"
+            and os.environ.get("WLOR_SCALING_EQUALIZE") == "1"):
+        # mutually exclusive: PIN stride-samples the core set (lo ->
+        # every 4th core) while EQUALIZE spawns spinners on cores
+        # [ncpu..total) — combined, the spinners land on 6 of the 8
+        # stride-pinned measured cores and silently corrupt the leg
+        raise SystemExit("WLOR_SCALING_PIN and WLOR_SCALING_EQUALIZE "
+                         "are mutually exclusive (the equalize spinners "
+                         "would overlap the stride-pinned core set)")
+
     def run(ncpu: int, docs: str = None) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    # steady-state corpus: 2x the flagship bench size so
@@ -333,16 +356,20 @@ def run_scaling() -> dict:
             cmd = ["taskset", "-c",
                    ",".join(str(c) for c in range(ncpu))] + cmd
         spinners = []
-        if equalize:
-            spin_src = ("import time\nx=0\n"
-                        "while True:\n"
-                        "    for i in range(100000): x+=i*i\n")
-            for c in range(ncpu, total):
-                spinners.append(subprocess.Popen(
-                    ["taskset", "-c", str(c), sys.executable, "-c",
-                     spin_src],
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
         try:
+            # spawned INSIDE the try: a mid-loop spawn failure (taskset
+            # missing, process ulimit) must still kill the spinners
+            # already running, or they burn whole cores forever
+            if equalize:
+                spin_src = ("import time\nx=0\n"
+                            "while True:\n"
+                            "    for i in range(100000): x+=i*i\n")
+                for c in range(ncpu, total):
+                    spinners.append(subprocess.Popen(
+                        ["taskset", "-c", str(c), sys.executable, "-c",
+                         spin_src],
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL))
             out = subprocess.run(cmd,
                                  env=env, capture_output=True, text=True,
                                  check=True).stdout
@@ -393,7 +420,6 @@ def run_scaling() -> dict:
     # only chooses WHEN to spend an attempt, never how it is judged.
     wait_budget = float(os.environ.get("WLOR_SCALING_WAIT_PROBE", "0"))
     wait_poll = float(os.environ.get("WLOR_SCALING_WAIT_POLL", "120"))
-    wait_deadline = (time.time() + wait_budget) if wait_budget > 0 else None
 
     def valid_idx(canaries, probes):
         """Trial indices that pass BOTH environment gates: (a) the
@@ -435,6 +461,10 @@ def run_scaling() -> dict:
         for w in (lo, hi):
             run(w, docs=str(warmup_docs))
 
+    # anchor the wait-probe budget AFTER the warmup legs: a multi-
+    # minute warmup must not silently consume the polling budget
+    wait_deadline = (time.time() + wait_budget) if wait_budget > 0 else None
+
     runs = {lo: [], hi: []}
     canaries = []
     probes = []
@@ -442,7 +472,11 @@ def run_scaling() -> dict:
     prev_post_probe = None
     windows_waited = 0
     for attempt in range(max_attempts):
-        if wait_deadline is not None and use_canary:
+        # prospective gating is independent of the retrospective canary
+        # gate: WLOR_SCALING_WAIT_PROBE works with WLOR_SCALING_CANARY=0
+        # (without canaries, prev_post_probe is never carried over, so
+        # each attempt simply starts with a fresh capacity_probe)
+        if wait_deadline is not None:
             p = (prev_post_probe if prev_post_probe is not None
                  else capacity_probe(hi))
             waited = False
@@ -482,6 +516,10 @@ def run_scaling() -> dict:
             probes.append((pre_probe, mid_probe, prev_post_probe))
             prev_post = round(canary(), 3)
             canaries.append((pre, prev_post))
+        else:
+            # no retrospective bracketing: a pre-leg probe is stale
+            # evidence by the next attempt — force a fresh one
+            prev_post_probe = None
         done = len(valid_idx(canaries, probes)) if use_canary \
             else len(runs[lo])
         if done >= trials:
@@ -537,11 +575,22 @@ def run_scaling() -> dict:
         "bench_docs": bench_docs,
         "queries_lo": runs[lo][-1]["queries"],
         "queries_hi": runs[hi][-1]["queries"],
+        # per-leg actor-pool sizes: equal FRACTIONS is the invariant
+        # the ratio rests on; at widths <= 3 the leave-a-read-slot cap
+        # can bend it, and this makes that visible in the artifact
+        "media_pool_lo": runs[lo][-1].get("media_pool"),
+        "media_pool_hi": runs[hi][-1].get("media_pool"),
         "pinned": os.environ.get("WLOR_SCALING_PIN") == "1",
         "equalized": os.environ.get("WLOR_SCALING_EQUALIZE") == "1",
         "warmup_docs": warmup_docs,
         "wait_probe_sec": wait_budget,
         "windows_waited": windows_waited,
+        # the contextual throughput_cores figures in probe_samples are
+        # normalized by this once-per-process solo calibration; record
+        # it so a calibration taken in a loud/throttled window (which
+        # OVERSTATES later throughput_cores) is visible in the artifact
+        "probe_solo_iters_per_sec": (round(_SPIN_SOLO_RATE[0])
+                                     if _SPIN_SOLO_RATE else None),
     }
     _record_baseline(result)
     return result
@@ -713,7 +762,13 @@ def capacity_probe(procs: int, wall: float = 1.0) -> dict:
       throughput_cores  — sum(iters)/(wall * solo iters/sec): work-
                           effective cores (the old metric, kept as
                           context — its gap vs delivered_cores IS the
-                          all-core frequency curve)
+                          all-core frequency curve). The solo rate is
+                          calibrated ONCE per process at the first
+                          call; a calibration taken in a loud or
+                          throttled window overstates later values,
+                          so --scaling records the rate in its JSON
+                          (probe_solo_iters_per_sec). The GATE reads
+                          delivered_cores only and is unaffected.
       steal_cores       — /proc/stat steal delta across the burn
                           (hypervisor-level contention evidence)
     """

@@ -25,9 +25,19 @@ def autosize_pool(total_cpus: int, num_cpus_per_actor: float = 1.0) -> int:
     """Actor-pool size for the media stage: half the cluster, but never
     the WHOLE cluster — the upstream ReadParquet task needs one free CPU
     slot or the stream deadlocks (observed at a 2-cpu session: 2 pinned
-    actors + 1 unschedulable read task = zero progress forever)."""
+    actors + 1 unschedulable read task = zero progress forever).
+
+    Raises ``ValueError`` when no pool can satisfy that invariant (a
+    session so small that even ONE actor would hold every CPU) instead
+    of returning a pool that deadlocks the stream."""
+    cap = int((total_cpus - 1) / num_cpus_per_actor)
+    if cap < 1:
+        raise ValueError(
+            f"session too small for the actor pool: {total_cpus} CPUs "
+            f"cannot host one {num_cpus_per_actor}-cpu actor and still "
+            f"leave the upstream read a schedulable slot")
     size = max(2, int(total_cpus * 0.5 / num_cpus_per_actor))
-    return max(1, min(size, int((total_cpus - 1) / num_cpus_per_actor)))
+    return min(size, cap)
 
 
 def build_extract_pipeline(corpus_dir: str,

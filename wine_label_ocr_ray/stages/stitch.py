@@ -24,6 +24,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..functions.imaging import stitch_horizontal
+from ..pipelines.extract import autosize_pool
 from ..sources.media import MediaStore
 from ..state.engines import decode_payload
 from .spans import explode_spans
@@ -120,6 +121,6 @@ def build_stitch_pipeline(corpus_dir: str,
         fn_constructor_kwargs=dict(media_path=media_path),
         batch_format="pyarrow", batch_size=256,
         # cap below the cluster width so the upstream read/shuffle
-        # tasks keep a schedulable CPU (2-cpu-session deadlock guard)
-        concurrency=max(1, min(max(2, total_cpus // 2),
-                               total_cpus - 1)))
+        # tasks keep a schedulable CPU (2-cpu-session deadlock guard;
+        # same policy as the media stage)
+        concurrency=autosize_pool(total_cpus))
