@@ -570,6 +570,13 @@ def run_scaling() -> dict:
         "all_trials_invalid": all_trials_invalid,
         "eff_samples": [round((a / b) / ratio, 3)
                         for a, b in zip(secs_lo_all, secs_hi_all)],
+        # drift-robust estimator: each trial's lo leg is paired with
+        # its own adjacent hi leg before taking the median, so
+        # chip-frequency wander BETWEEN trials cancels instead of
+        # leaking into the ratio the way cross-trial leg-medians let
+        # it (see the 07:55-09:00 round-5 forensic in BASELINE.md)
+        "value_per_trial_median": round(median(
+            [(secs_lo_all[i] / secs_hi_all[i]) / ratio for i in vidx]), 3),
         "docs_per_sec_lo": round(bench_docs / t_lo, 1),
         "docs_per_sec_hi": round(bench_docs / t_hi, 1),
         "bench_docs": bench_docs,
@@ -660,7 +667,7 @@ def _record_baseline(result: dict) -> None:
              f"|---|---|---|---|\n"
              f"| N | num_cpus={lo} | {result['docs_per_sec_lo']} | median {result['sec_lo']} over valid trials; all samples {result['sec_lo_samples']} |\n"
              f"| {rlab} | num_cpus={hi} | {result['docs_per_sec_hi']} | median {result['sec_hi']} over valid trials; all samples {result['sec_hi_samples']} |\n"
-             f"| efficiency | (T_{rlab}/T_N)/{ratio:g} | **{result['value']}** (medians over valid trials; per-trial {result['eff_samples']}) | target >= 0.8 |\n"
+             f"| efficiency | (T_{rlab}/T_N)/{ratio:g} | **{result['value']}** (medians over valid trials; per-trial {result['eff_samples']}; drift-robust median of valid per-trial efficiencies **{result.get('value_per_trial_median')}**) | target >= 0.8 |\n"
              + canary_note)
     try:
         try:

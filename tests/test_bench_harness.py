@@ -66,6 +66,10 @@ def test_scaling_gate_brackets_and_appends(bench, tmp_path, monkeypatch):
     assert not result["all_trials_invalid"]
     # medians over valid trials: T8=400, T32=(125+115)/2=120 -> 0.833
     assert result["value"] == pytest.approx(0.833, abs=0.001)
+    # drift-robust estimator: median of the VALID trials' own ratios
+    # (0.8 and ~0.870), not a ratio of cross-trial leg medians
+    assert result["value_per_trial_median"] == pytest.approx(
+        0.835, abs=0.001)
     # every scaling subprocess must disable nested canary stamps
     assert all(c == "0" for c in calls)
     assert result["canary_samples"] == [
@@ -81,6 +85,7 @@ def test_scaling_gate_brackets_and_appends(bench, tmp_path, monkeypatch):
     assert "### old run" in text          # NOT truncated
     assert "### 8v32 @300000 run" in text  # new section appended
     assert "BRACKETING" in text and "VALID set" in text
+    assert "drift-robust median of valid per-trial efficiencies" in text
 
 
 def test_parse_stage_stats_taskpool_and_alltoall(bench):
