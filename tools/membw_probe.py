@@ -1,8 +1,9 @@
 """Quantify the single-host memory-bandwidth ceiling behind the 8v32
 scaling criterion.
 
-Runs a STREAM-triad-like kernel (a = b + s*c over arrays far larger
-than LLC) in P pinned processes for P in (1, 8, 32) and reports
+Runs a STREAM-add kernel (a = b + c over arrays far larger than LLC,
+temp-free so counted bytes equal bus traffic modulo write-allocate)
+in P pinned processes for P in (1, 8, 32) and reports
 aggregate moved bytes/sec. On a real N-vs-4N-NODE cluster, DRAM
 channels scale with cores; on this one host they do not, so
 (BW_32/BW_8)/4 is the hard 8v32 efficiency ceiling for any
@@ -25,28 +26,31 @@ WARMUP_S = 1.0
 BYTES_PER_ITER = 4 * N * 8   # read b, read c, write a + write-allocate a
 
 
-def _triad(core, start_evt, out):
+def _stream_add(core, ready, start_evt, out):
     os.sched_setaffinity(0, {core})
     b = np.random.rand(N)
     c = np.random.rand(N)
     a = np.empty_like(b)
-    s = 1.000001
+    np.add(b, c, out=a)         # touch every page before signalling
+    ready.put(core)
     start_evt.wait()
     t_end = time.perf_counter() + WARMUP_S
     while time.perf_counter() < t_end:
-        np.add(b, s * c, out=a)
+        np.add(b, c, out=a)
     iters = 0
     t0 = time.perf_counter()
     t_end = t0 + MEASURE_S
     while time.perf_counter() < t_end:
-        np.add(b, s * c, out=a)
+        np.add(b, c, out=a)
         iters += 1
     out.put(iters * BYTES_PER_ITER / (time.perf_counter() - t0))
 
 
-def _alu(core, start_evt, out):
+def _alu(core, ready, start_evt, out):
     os.sched_setaffinity(0, {core})
     x = np.random.rand(4096)   # L1/L2-resident: no DRAM traffic
+    x = x * 1.000001 + 1e-9
+    ready.put(core)
     start_evt.wait()
     t_end = time.perf_counter() + WARMUP_S
     while time.perf_counter() < t_end:
@@ -63,12 +67,14 @@ def _alu(core, start_evt, out):
 def run_width(kernel, p):
     ctx = mp.get_context("spawn")
     start_evt = ctx.Event()
+    ready = ctx.Queue()
     out = ctx.Queue()
-    procs = [ctx.Process(target=kernel, args=(i, start_evt, out))
+    procs = [ctx.Process(target=kernel, args=(i, ready, start_evt, out))
              for i in range(p)]
     for pr in procs:
         pr.start()
-    time.sleep(2.0 + 0.05 * p)   # let arrays allocate before the gun
+    for _ in procs:              # barrier: every child imported numpy,
+        ready.get()              # allocated and touched its pages
     start_evt.set()
     vals = [out.get() for _ in procs]
     for pr in procs:
@@ -77,16 +83,23 @@ def run_width(kernel, p):
 
 
 def main():
+    widths = [int(w) for w in os.environ.get(
+        "MEMBW_WIDTHS", "1,4,8,16,32").split(",")]
     res = {"metric": "membw_ceiling", "unit": "GB/s",
            "array_mb_per_proc": round(3 * N * 8 / 2**20)}
-    for p in (1, 8, 32):
-        res[f"triad_gbps_{p}"] = round(run_width(_triad, p) / 1e9, 2)
-    for p in (8, 32):
-        res[f"alu_gflops_{p}"] = round(run_width(_alu, p) / 1e9, 2)
-    res["triad_8v32_ceiling"] = round(
-        (res["triad_gbps_32"] / res["triad_gbps_8"]) / 4, 3)
-    res["alu_8v32_ceiling"] = round(
-        (res["alu_gflops_32"] / res["alu_gflops_8"]) / 4, 3)
+    for p in widths:
+        res[f"stream_add_gbps_{p}"] = round(run_width(_stream_add, p) / 1e9, 2)
+    for p in widths:
+        if p > 1:
+            res[f"alu_gflops_{p}"] = round(run_width(_alu, p) / 1e9, 2)
+    for lo_w, hi_w in ((4, 16), (8, 32)):
+        if lo_w in widths and hi_w in widths:
+            res[f"stream_{lo_w}v{hi_w}_ceiling"] = round(
+                (res[f"stream_add_gbps_{hi_w}"]
+                 / res[f"stream_add_gbps_{lo_w}"]) / 4, 3)
+            res[f"alu_{lo_w}v{hi_w}_ceiling"] = round(
+                (res[f"alu_gflops_{hi_w}"]
+                 / res[f"alu_gflops_{lo_w}"]) / 4, 3)
     print(json.dumps(res))
 
 
